@@ -1,0 +1,25 @@
+"""Linear solver layer: KKT factorization/solve with inertia.
+
+Mirrors the reference's ``parapint/linalg`` layer
+(/root/reference/parapint/linalg/__init__.py): a small solver protocol, a
+results/status vocabulary, direct dense solvers (the MA27/MUMPS/Scipy roles)
+and Schur-complement solvers (serial and sharded) that compose a sub-solver
+per diagonal block with a solver for the Schur complement.
+"""
+
+from parapint_tpu.linalg.results import LinearSolverStatus, LinearSolverResults
+from parapint_tpu.linalg.base import LinearSolver
+from parapint_tpu.linalg.dense import DenseLDLSolver, DenseLUSolver
+from parapint_tpu.linalg.schur import SchurComplementSolver, BlockKKT
+from parapint_tpu.linalg.sharded_schur import ShardedSchurComplementSolver
+
+__all__ = [
+    "LinearSolverStatus",
+    "LinearSolverResults",
+    "LinearSolver",
+    "DenseLDLSolver",
+    "DenseLUSolver",
+    "SchurComplementSolver",
+    "ShardedSchurComplementSolver",
+    "BlockKKT",
+]

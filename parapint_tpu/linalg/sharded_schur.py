@@ -1,0 +1,173 @@
+"""Sharded (multi-chip) explicit Schur-complement solver.
+
+The TPU-native replacement for the reference's MPI Schur solver
+(/root/reference/parapint/linalg/schur_complement/mpi_explicit_schur_complement.py:128-452):
+
+- block -> rank round-robin ownership becomes sharding the leading block axis
+  of the (N, nk, nk) diagonal and (N, nc, nk) border arrays over a mesh axis;
+- ``comm.Allreduce`` of the Schur-complement data (:343) and of the SC rhs
+  (:387) become ``jax.lax.psum`` over the mesh axis (ICI/DCN collectives
+  inserted by XLA);
+- the runtime sparse SC-structure discovery (``_BorderMatrix`` /
+  ``_get_all_nonzero_elements_in_sc``, :33-123) disappears entirely: the SC
+  is dense and shapes are static at trace time;
+- the Schur complement is factorized redundantly on *every* shard, exactly
+  mirroring the reference's replicated SC factorization (:352-360) — zero
+  extra communication in exchange for replicated flops;
+- per-rank status ``allgather`` + worst-status merge (:19-30) becomes a
+  ``psum``/max-reduction on an int status code.
+
+All methods are traceable; the shard_map regions compose with an outer
+``jit`` so a full IP iteration (assembly + factor + solve) stays one XLA
+computation.
+"""
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from parapint_tpu.linalg.base import LinearSolver
+from parapint_tpu.linalg.dense import DenseLDLSolver
+from parapint_tpu.linalg.results import LinearSolverResults, LinearSolverStatus
+from parapint_tpu.linalg.schur import (
+    BlockKKT,
+    BlockRhs,
+    SchurFactor,
+    _factor_blocks,
+    _sc_contribution,
+)
+from parapint_tpu.ops.ldl import ldl_solve
+
+
+class ShardedSchurComplementSolver(LinearSolver):
+    """Schur-complement solver with the block axis sharded over a mesh axis.
+
+    Parameters
+    ----------
+    mesh: jax.sharding.Mesh with (at least) ``axis_name``.
+    axis_name: mesh axis the blocks are sharded over (default "blocks").
+    schur_complement_solver: solver for the (replicated) Schur complement.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        axis_name: str = "blocks",
+        schur_complement_solver: Optional[LinearSolver] = None,
+        block_size: int = 128,
+        zero_tol: float = 1e-12,
+    ):
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.sc_solver = (
+            schur_complement_solver
+            if schur_complement_solver is not None
+            else DenseLDLSolver(block_size=block_size, zero_tol=zero_tol)
+        )
+        self.block_size = block_size
+        self.zero_tol = zero_tol
+        self.n_shards = mesh.shape[axis_name]
+
+    def symbolic(self, kkt: BlockKKT) -> LinearSolverResults:
+        N = kkt.diag.shape[0]
+        if N % self.n_shards != 0:
+            raise ValueError(
+                f"number of blocks ({N}) must be a multiple of the mesh axis "
+                f"size ({self.n_shards}); pad with masked blocks "
+                f"(BlockKKT.mask) to round up"
+            )
+        nc = kkt.q.shape[-1]
+        nk = kkt.diag.shape[-1]
+        if kkt.border.shape != (N, nc, nk):
+            raise ValueError(
+                f"border shape {kkt.border.shape} inconsistent with "
+                f"diag {kkt.diag.shape} and q {kkt.q.shape}"
+            )
+        return LinearSolverResults(status=LinearSolverStatus.successful)
+
+    # -- numeric -----------------------------------------------------------
+
+    def numeric(self, kkt: BlockKKT) -> SchurFactor:
+        ax = self.axis_name
+
+        def _numeric(diag, border, q, mask):
+            # local shard: batched LDL^T of owned blocks
+            LD, blk_inertia, blk_status = _factor_blocks(
+                diag, mask, self.block_size, self.zero_tol
+            )
+            # S = Q - psum_i A_i K_i^{-1} A_i^T  (ICI all-reduce;
+            # reference: comm.Allreduce of SC data, :343)
+            sc = q - jax.lax.psum(_sc_contribution(LD, border, mask), ax)
+            blk_inertia = jax.lax.psum(blk_inertia, ax)
+            blk_status = jax.lax.pmax(blk_status, ax)
+            # replicated SC factorization on every shard (reference :352-360)
+            sc_fact = self.sc_solver.numeric(sc)
+            sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
+            inertia = blk_inertia + jnp.stack([sc_pos, sc_neg, sc_zero])
+            status = jnp.maximum(blk_status, self.sc_solver.status(sc_fact))
+            return LD, sc_fact, inertia, status
+
+        sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), self._sc_fact_struct(kkt))
+        LD, sc_fact, inertia, status = shard_map(
+            _numeric,
+            mesh=self.mesh,
+            in_specs=(P(ax), P(ax), P(), P(ax)),
+            out_specs=(P(ax), sc_fact_specs, P(), P()),
+            check_vma=False,
+        )(kkt.diag, kkt.border, kkt.q, kkt.mask)
+        return SchurFactor(
+            block_LD=LD,
+            border=kkt.border,
+            sc_fact=sc_fact,
+            inertia=inertia,
+            status=status,
+            nk=kkt.diag.shape[-1],
+        )
+
+    def _sc_fact_struct(self, kkt: BlockKKT):
+        """Abstract pytree structure of the SC sub-factorization (for specs)."""
+        nc = kkt.q.shape[-1]
+        sc_shape = jax.ShapeDtypeStruct((nc, nc), kkt.q.dtype)
+        return jax.eval_shape(self.sc_solver.numeric, sc_shape)
+
+    # -- solve -------------------------------------------------------------
+
+    def solve(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
+        ax = self.axis_name
+        nk = fact.nk
+
+        def _solve(LD, border, sc_fact, blocks, coupling):
+            v = jax.vmap(lambda ld, b: ldl_solve(ld, b))(LD, blocks)
+            # SC rhs reduction (reference: comm.Allreduce(sc_rhs), :387)
+            contrib = jnp.einsum(
+                "bci,bi->c", border, v, preferred_element_type=v.dtype
+            )
+            sc_rhs = coupling - jax.lax.psum(contrib, ax)
+            # redundant SC solve per shard (reference :391)
+            y = self.sc_solver.solve(sc_fact, sc_rhs)
+            rhs2 = blocks - jnp.einsum(
+                "bci,c->bi", border, y, preferred_element_type=v.dtype
+            )
+            x = jax.vmap(lambda ld, b: ldl_solve(ld, b))(LD, rhs2)
+            return x[:, :nk], y
+
+        sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), fact.sc_fact)
+        x, y = shard_map(
+            _solve,
+            mesh=self.mesh,
+            in_specs=(P(ax), P(ax), sc_fact_specs, P(ax), P()),
+            out_specs=(P(ax), P()),
+            check_vma=False,
+        )(fact.block_LD, fact.border, fact.sc_fact, rhs.blocks, rhs.coupling)
+        return BlockRhs(blocks=x, coupling=y)
+
+    def inertia(self, fact: SchurFactor):
+        return fact.inertia[0], fact.inertia[1], fact.inertia[2]
+
+    def status(self, fact: SchurFactor) -> jax.Array:
+        return fact.status

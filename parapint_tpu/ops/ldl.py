@@ -1,0 +1,199 @@
+"""Blocked dense LDL^T factorization with inertia, for symmetric indefinite KKT systems.
+
+This kernel fills the role HSL MA27 / MUMPS play in the reference
+(/root/reference/parapint/linalg/ma27_interface.py, mumps_interface.py):
+factor a symmetric indefinite matrix and report its inertia (the number of
+positive/negative/zero pivots) so the interior-point loop can run its
+inertia-correction scheme (/root/reference/parapint/algorithms/interior_point.py:363-400).
+
+Design notes (TPU-first):
+
+- The factorization is *unpivoted* LDL^T with 1x1 pivots.  Interior-point KKT
+  matrices in the [H + Sigma_x, 0, Jeq^T, Jineq^T; ...] ordering are
+  quasi-definite once regularized (positive diagonal first, negative
+  constraint diagonal last), for which unpivoted LDL^T is backward stable.
+  When the unregularized matrix breaks down (tiny/zero pivot), we report a
+  ``singular`` status and the IP loop's existing inertia-correction retry
+  adds the regularization — exactly the failure/recovery contract MA27 has
+  with the reference algorithm.
+- Right-looking blocked algorithm: the O(n^3) trailing update is a plain
+  matmul (MXU); the O(n*b^2) panel solve is a batched triangular solve
+  (native XLA:TPU); only the small b x b diagonal block factorization is a
+  sequential loop of rank-1 VPU updates.
+- Everything is shape-static and `vmap`-able: `batched_ldl_factor` factors
+  [N, n, n] blocks in one XLA computation (the per-block factorizations the
+  reference distributes over MPI ranks become one batched kernel here).
+- f64 by default (TPU f64 is emulated by XLA but fast in practice); a
+  mixed-precision path (f32 factor + f64 iterative refinement) lives in
+  :mod:`parapint_tpu.linalg.refine`.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _ldl_unblocked(A: jax.Array) -> jax.Array:
+    """Unpivoted LDL^T of a small (b, b) block.
+
+    Returns the packed factor: strict lower triangle holds L (unit diagonal
+    implied), the diagonal holds D.  The strict upper triangle is garbage.
+    """
+    b = A.shape[-1]
+    row_ids = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+
+    def body(j, A):
+        col = lax.dynamic_slice_in_dim(A, j, 1, axis=1)  # (b, 1)
+        piv = lax.dynamic_slice(col, (j, 0), (1, 1))  # (1, 1)
+        piv_safe = jnp.where(jnp.abs(piv) > 0, piv, 1.0)
+        below = row_ids > j
+        l = jnp.where(below, col / piv_safe, 0.0)
+        # write [.. d_j at row j, L below ..] into column j
+        newcol = jnp.where(below, l, col)
+        A = lax.dynamic_update_slice_in_dim(A, newcol, j, axis=1)
+        # trailing rank-1 update: A[i>j, k>j] -= l_i * (d_j l_k) and d_j*l_k == col_k
+        colmask = jnp.where(row_ids > j, col, 0.0)  # (b, 1), masked to k > j
+        A = A - l * colmask.T
+        return A
+
+    return lax.fori_loop(0, b, body, A, unroll=False)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def ldl_factor(A: jax.Array, block_size: int = 128):
+    """Factor symmetric ``A`` (n, n) as L D L^T (unpivoted, 1x1 pivots).
+
+    Parameters
+    ----------
+    A: (n, n) symmetric array.  Only the lower triangle is referenced
+       logically, but the full (symmetric) matrix should be supplied.
+    block_size: panel width.  128 matches the TPU lane width/MXU tile.
+
+    Returns
+    -------
+    LD: (np, np) packed factor (np = n rounded up to a multiple of
+        block_size): strict lower triangle is L, diagonal is D.  Padded
+        rows/cols are identity (D = 1) and are excluded from the inertia by
+        :func:`ldl_inertia` via the ``n`` argument.
+    d:  (np,) the diagonal D.
+    """
+    n = A.shape[-1]
+    npad = _round_up(max(n, 1), block_size)
+    if npad != n:
+        # identity padding: decoupled +1 pivots
+        A = jnp.pad(A, ((0, npad - n), (0, npad - n)))
+        pad_ids = lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
+        eye_pad = jnp.logical_and(
+            pad_ids >= n, pad_ids == lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+        )
+        A = jnp.where(eye_pad, 1.0, A)
+    bs = block_size
+    nb = npad // bs
+    row_ids = lax.broadcasted_iota(jnp.int32, (npad, 1), 0)
+
+    def outer(k, A):
+        off = k * bs
+        Akk = lax.dynamic_slice(A, (off, off), (bs, bs))
+        Akk_f = _ldl_unblocked(Akk)
+        dk = jnp.diagonal(Akk_f)
+        Lkk = jnp.tril(Akk_f, -1) + jnp.eye(bs, dtype=A.dtype)
+        # full-height column panel; rows strictly below the diagonal block
+        P = lax.dynamic_slice(A, (0, off), (npad, bs))
+        below = row_ids >= off + bs  # (npad, 1)
+        # X = P_below @ Lkk^{-T}  (X holds L_panel * D_k)
+        X = lax.linalg.triangular_solve(
+            Lkk, P, left_side=False, lower=True, transpose_a=True
+        )
+        X = jnp.where(below, X, 0.0)
+        dk_safe = jnp.where(jnp.abs(dk) > 0, dk, 1.0)
+        Lpan = X / dk_safe[None, :]
+        # write the factored diagonal block and the panel back into A
+        newcols = jnp.where(below, Lpan, P)
+        newcols = lax.dynamic_update_slice(newcols, Akk_f, (off, 0))
+        A = lax.dynamic_update_slice(A, newcols, (0, off))
+        # trailing update (MXU): A -= L_pan D L_pan^T; both operands are
+        # masked to rows >= off+bs so the update only touches the trailing
+        # submatrix.
+        A = A - jnp.matmul(Lpan, X.T, preferred_element_type=A.dtype)
+        return A
+
+    A = lax.fori_loop(0, nb, outer, A)
+    return A, jnp.diagonal(A)
+
+
+@jax.jit
+def ldl_solve(LD: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve L D L^T x = b given the packed factor from :func:`ldl_factor`.
+
+    ``b`` may be (n,) or (n, k) with n <= LD.shape[0]; it is zero-padded to
+    the factor's padded size and the result truncated back.
+    """
+    npad = LD.shape[-1]
+    n = b.shape[0]
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    if n != npad:
+        b = jnp.pad(b, ((0, npad - n), (0, 0)))
+    d = jnp.diagonal(LD)
+    d_safe = jnp.where(jnp.abs(d) > 0, d, 1.0)
+    y = lax.linalg.triangular_solve(
+        LD, b, left_side=True, lower=True, unit_diagonal=True
+    )
+    z = y / d_safe[:, None]
+    x = lax.linalg.triangular_solve(
+        LD, z, left_side=True, lower=True, transpose_a=True, unit_diagonal=True
+    )
+    x = x[:n]
+    if squeeze:
+        x = x[:, 0]
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def ldl_inertia(d: jax.Array, n: int | None = None, zero_tol: float = 1e-12):
+    """Inertia (num_pos, num_neg, num_zero) from the pivots ``d``.
+
+    ``n``: number of *logical* pivots (excludes the kernel's internal
+    padding, whose pivots are exactly +1 at indices >= n).
+
+    A pivot is "zero" when |d_i| <= zero_tol * max_i |d_i| (relative test,
+    mirroring the spirit of the reference ScipyInterface's eigenvalue
+    thresholds, /root/reference/parapint/linalg/scipy_interface.py:40-45).
+    NaN pivots count in none of the three buckets, so
+    pos + neg + zero < n signals a failed factorization.
+    """
+    npad = d.shape[0]
+    if n is None:
+        n = npad
+    ids = lax.broadcasted_iota(jnp.int32, (npad, 1), 0)[:, 0]
+    valid = ids < n
+    dmax = jnp.max(jnp.where(valid, jnp.abs(d), 0.0))
+    tol = zero_tol * jnp.maximum(dmax, 1.0)
+    is_zero = jnp.logical_and(valid, jnp.abs(d) <= tol)
+    is_pos = jnp.logical_and(valid, d > tol)
+    is_neg = jnp.logical_and(valid, d < -tol)
+    return (
+        jnp.sum(is_pos, dtype=jnp.int32),
+        jnp.sum(is_neg, dtype=jnp.int32),
+        jnp.sum(is_zero, dtype=jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched variants: one XLA computation factors/solves all diagonal blocks.
+# This is the TPU-native replacement for the reference's per-rank loop over
+# sub_solver.do_numeric_factorization
+# (/root/reference/parapint/linalg/schur_complement/mpi_explicit_schur_complement.py:292-299).
+# ---------------------------------------------------------------------------
+
+batched_ldl_factor = jax.jit(
+    jax.vmap(ldl_factor, in_axes=(0, None)), static_argnames=("block_size",)
+)
+batched_ldl_solve = jax.jit(jax.vmap(ldl_solve, in_axes=(0, 0)))
