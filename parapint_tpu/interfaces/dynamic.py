@@ -1,13 +1,699 @@
-"""Dynamic (time-block) Schur-complement interface. Placeholder — implemented next."""
+"""Dynamic (time-block decomposition) Schur-complement interior-point interface.
+
+TPU-native counterpart of the reference's
+``DynamicSchurComplementInteriorPointInterface`` / ``MPIDynamic...``
+(/root/reference/parapint/interfaces/schur_complement/sc_ip_interface.py:13-1025,
+mpi_sc_ip_interface.py:32-270): the time horizon [start_t, end_t] is split
+into N uniform time blocks; continuity of the ``num_states`` state variables
+across block boundaries is enforced through coupling variables c and linear
+linking constraints
+
+    backward (block i > 0):    x_i[start_state_idx] - c_{i-1} = 0
+    forward  (block i < N-1):  x_i[end_state_idx]   - c_i     = 0
+
+Design differences from the reference (deliberate, TPU-first):
+
+- All N blocks are one uniform batched model family (see
+  :mod:`parapint_tpu.interfaces.blocked`); block 0's initial conditions are
+  extra equality rows masked off in the other blocks, instead of per-block
+  Pyomo models of different shapes.
+- BOTH link families' dual rows live in the diagonal blocks (the reference
+  keeps forward links in the coupling block, sc_ip_interface.py:316-334),
+  so the Schur complement has dimension (N-1)*num_states — half the
+  reference's 2*(N-1)*num_states — while the math stays an exact
+  block-bordered elimination.
+- The KKT is a :class:`LocalBlockKKT`: dense per-block diagonal blocks plus
+  block-local border strips with static global-row maps (no runtime sparsity
+  discovery).
+
+Serial and parallel are the same class: pass a
+:class:`ShardedSchurComplementSolver` (and optionally ``mesh=``) to run with
+the block axis sharded over chips.
+"""
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parapint_tpu.interfaces import base
+from parapint_tpu.interfaces.base import Bounds, ConvergenceInfo, IPState
+from parapint_tpu.interfaces.blocked import (
+    BatchedNLPFunctions,
+    BlockKKTData,
+    assemble_block_diag,
+    selector_rows,
+    sub_kkt_layout,
+)
+from parapint_tpu.linalg.schur import BlockRhs, LocalBlockKKT
 
 
-class DynamicModelSpec:  # pragma: no cover - placeholder
-    def __init__(self, *a, **k):
-        raise NotImplementedError("DynamicModelSpec lands in the next milestone")
+@dataclasses.dataclass
+class DynamicModelSpec:
+    """Uniform batched model family for a dynamic optimization problem.
+
+    The user-facing replacement for subclassing and implementing
+    ``build_model_for_time_block`` (reference sc_ip_interface.py:108-141):
+    one set of block functions shared by all time blocks, plus per-block
+    parameters.
+
+    Parameters
+    ----------
+    num_blocks: N, number of time blocks
+    objective: (x, p) -> scalar, per-block objective (summed over blocks)
+    eq_constraints: (x, p) -> (n_eq,); rows may be masked per block via
+        eq_mask (e.g. initial conditions: real only in block 0)
+    ineq_constraints: (x, p) -> (n_ineq,) or None
+    params: pytree with leading dimension N (per-block data: time offsets,
+        initial condition values, ...)
+    x0: (N, n) initial primal values
+    xl, xu: (N, n) variable bounds (default unbounded)
+    gl, gu: (N, n_ineq) inequality bounds
+    eq_mask / ineq_mask / x_mask: (N, dim) bool validity masks (default all
+        valid)
+    start_state_idx / end_state_idx: (num_states,) int indices into x of the
+        states at the start/end of each block (the same for every block, as
+        the reference requires — sc_ip_interface.py:127-130)
+    """
+
+    num_blocks: int
+    objective: Callable
+    eq_constraints: Optional[Callable]
+    params: object
+    x0: object
+    start_state_idx: object
+    end_state_idx: object
+    ineq_constraints: Optional[Callable] = None
+    xl: Optional[object] = None
+    xu: Optional[object] = None
+    gl: Optional[object] = None
+    gu: Optional[object] = None
+    eq_mask: Optional[object] = None
+    ineq_mask: Optional[object] = None
+    x_mask: Optional[object] = None
+
+    def __post_init__(self):
+        N = self.num_blocks
+        self.x0 = jnp.asarray(self.x0, dtype=jnp.float64)
+        if self.x0.ndim != 2 or self.x0.shape[0] != N:
+            raise ValueError(f"x0 must be (num_blocks, n), got {self.x0.shape}")
+        n = self.x0.shape[1]
+        p0 = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[0], self.params)
+        if self.eq_constraints is not None:
+            me = int(jax.eval_shape(self.eq_constraints, self.x0[0], p0).shape[0])
+        else:
+            me = 0
+        if self.ineq_constraints is not None:
+            mi = int(jax.eval_shape(self.ineq_constraints, self.x0[0], p0).shape[0])
+        else:
+            mi = 0
+        self.n_x, self.n_eq, self.n_ineq = n, me, mi
+
+        def _default(arr, shape, fill):
+            if arr is None:
+                return np.full(shape, fill)
+            a = np.asarray(arr, dtype=np.float64)
+            return np.broadcast_to(a, shape).copy()
+
+        self.xl = _default(self.xl, (N, n), -np.inf)
+        self.xu = _default(self.xu, (N, n), np.inf)
+        self.gl = _default(self.gl, (N, mi), -np.inf)
+        self.gu = _default(self.gu, (N, mi), np.inf)
+
+        def _mask(m, shape):
+            if m is None:
+                return np.ones(shape, dtype=bool)
+            return np.broadcast_to(np.asarray(m, dtype=bool), shape).copy()
+
+        self.eq_mask = _mask(self.eq_mask, (N, me))
+        self.ineq_mask = _mask(self.ineq_mask, (N, mi))
+        self.x_mask = _mask(self.x_mask, (N, n))
+
+        self.start_state_idx = np.asarray(self.start_state_idx, dtype=np.int64)
+        self.end_state_idx = np.asarray(self.end_state_idx, dtype=np.int64)
+        if self.start_state_idx.shape != self.end_state_idx.shape:
+            raise ValueError("start/end state index lists must have equal length")
+        self.num_states = int(self.start_state_idx.shape[0])
+
+        # enforce the padding invariant: masked vars/rows are unbounded
+        self.xl[~self.x_mask] = -np.inf
+        self.xu[~self.x_mask] = np.inf
+        self.gl[~self.ineq_mask] = -np.inf
+        self.gu[~self.ineq_mask] = np.inf
 
 
-class DynamicSchurComplementInteriorPointInterface:  # pragma: no cover
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            "DynamicSchurComplementInteriorPointInterface lands in the next milestone"
+class DynamicSchurComplementInteriorPointInterface:
+    """Interface for dynamic problems (see module docstring).
+
+    Parameters
+    ----------
+    spec: DynamicModelSpec
+    mesh / axis_name: optional device mesh; when given, block-axis arrays are
+        laid out sharded over ``axis_name`` so evaluation, assembly and the
+        sharded Schur solver all run SPMD.
+    """
+
+    def __init__(self, spec: DynamicModelSpec, mesh=None, axis_name: str = "blocks"):
+        self.spec = spec
+        self.mesh = mesh
+        self.axis_name = axis_name
+        N = spec.num_blocks
+        n, me, mi, ns = spec.n_x, spec.n_eq, spec.n_ineq, spec.num_states
+        self.N, self.n, self.me, self.mi, self.ns = N, n, me, mi, ns
+        self.ncv = ns * (N - 1)  # coupling variables
+        self.n_link = 2 * ns
+        (
+            self.off_x,
+            self.off_s,
+            self.off_yeq,
+            self.off_yineq,
+            self.off_lam,
+            self.nk,
+        ) = sub_kkt_layout(n, me, mi, self.n_link)
+
+        self.fns = BatchedNLPFunctions(
+            spec.objective, spec.eq_constraints, spec.ineq_constraints, n, me, mi
+        )
+        self.obj_factor = 1.0
+        self._current_state = None
+
+        # static masks / link structure ---------------------------------
+        blk = np.arange(N)
+        bwd_mask = np.broadcast_to((blk > 0)[:, None], (N, ns)).astype(np.float64)
+        fwd_mask = np.broadcast_to((blk < N - 1)[:, None], (N, ns)).astype(np.float64)
+        self.bwd_mask = jnp.asarray(bwd_mask)
+        self.fwd_mask = jnp.asarray(fwd_mask)
+        link_rows = np.concatenate(
+            [
+                selector_rows(spec.start_state_idx, bwd_mask, n),
+                selector_rows(spec.end_state_idx, fwd_mask, n),
+            ],
+            axis=1,
+        )  # (N, 2ns, n)
+        self.link_rows = jnp.asarray(link_rows)
+        self.link_mask = jnp.concatenate([self.bwd_mask, self.fwd_mask], axis=1)
+
+        # global SC row (= coupling var index) per local border row
+        DUMP = self.ncv
+        row_idx = np.full((N, 2 * ns), DUMP, dtype=np.int32)
+        for i in range(N):
+            if i > 0:
+                row_idx[i, :ns] = (i - 1) * ns + np.arange(ns)
+            if i < N - 1:
+                row_idx[i, ns:] = i * ns + np.arange(ns)
+        self.row_idx = jnp.asarray(row_idx)
+
+        # local border strips: c-row r couples to the matching lambda column
+        # with coefficient -1 (the -P link-coupling matrices of the
+        # reference, sc_ip_interface.py:392-420, 447-475)
+        border_loc = np.zeros((N, 2 * ns, self.nk))
+        for j in range(ns):
+            border_loc[:, j, self.off_lam + j] = -bwd_mask[:, j]
+            border_loc[:, ns + j, self.off_lam + ns + j] = -fwd_mask[:, j]
+        self.border_loc = jnp.asarray(border_loc)
+
+        self.eq_mask = jnp.asarray(spec.eq_mask)
+        self.ineq_mask = jnp.asarray(spec.ineq_mask)
+        self.x_mask = jnp.asarray(spec.x_mask)
+        self.params = jax.tree_util.tree_map(jnp.asarray, spec.params)
+
+        # logical constraint counts (exclude padding)
+        self.n_eq_real = int(spec.eq_mask.sum()) + 2 * self.ncv
+        self.n_ineq_real = int(spec.ineq_mask.sum())
+
+        self._bounds_relaxation_factor = 0.0
+        self._set_bounds()
+
+        self._convergence_info = jax.jit(self._convergence_info_impl)
+        self._eval_kkt_data = jax.jit(self._eval_kkt_data_impl)
+        self._assemble_kkt = jax.jit(self._assemble_kkt_impl)
+        self._extract_deltas = jax.jit(self._extract_deltas_impl)
+        self._fraction_to_the_boundary = jax.jit(self._ftb_impl)
+        self._apply_step = jax.jit(self._apply_step_impl)
+
+    # -- parity accessors --------------------------------------------------
+
+    def n_primals(self) -> int:
+        return self.N * self.n + self.ncv
+
+    def n_eq_constraints(self) -> int:
+        """Includes the coupling constraints (reference sc_ip_interface.py:593-600)."""
+        return self.n_eq_real
+
+    def n_ineq_constraints(self) -> int:
+        return self.n_ineq_real
+
+    @property
+    def n_duals_eq(self) -> int:
+        return self.n_eq_real
+
+    @property
+    def n_duals_ineq(self) -> int:
+        return self.n_ineq_real
+
+    @property
+    def expected_neg_eig(self) -> int:
+        """All constraint-family rows, real or padded (padded rows carry a
+        decoupled -1 diagonal, contributing one negative eigenvalue each)."""
+        return self.N * (self.me + self.mi + 2 * self.ns)
+
+    def get_state(self) -> IPState:
+        return self._current_state
+
+    def get_primals(self):
+        return self._current_state.primals
+
+    def get_block_primals(self, ndx: int):
+        """Primal values of time block ndx (unpadded columns included)."""
+        return self._current_state.primals["blocks"][ndx]
+
+    def get_coupling_values(self):
+        return self._current_state.primals["coupling"]
+
+    def evaluate_objective(self):
+        x = self._current_state.primals["blocks"]
+        return self.fns.total_objective(x, self.params, self.x_mask)
+
+    # -- bounds ------------------------------------------------------------
+
+    def get_bounds_relaxation_factor(self) -> float:
+        return self._bounds_relaxation_factor
+
+    def set_bounds_relaxation_factor(self, val: float) -> None:
+        self._bounds_relaxation_factor = val
+        self._set_bounds()
+
+    def _set_bounds(self) -> None:
+        f = self._bounds_relaxation_factor
+        s = self.spec
+        inf = jnp.inf
+        self.bounds = Bounds(
+            xl={
+                "blocks": base.relax_bounds_lower(jnp.asarray(s.xl), f),
+                "coupling": jnp.full(self.ncv, -inf),
+            },
+            xu={
+                "blocks": base.relax_bounds_upper(jnp.asarray(s.xu), f),
+                "coupling": jnp.full(self.ncv, inf),
+            },
+            gl=base.relax_bounds_lower(jnp.asarray(s.gl), f),
+            gu=base.relax_bounds_upper(jnp.asarray(s.gu), f),
+        )
+
+    # -- sharding ----------------------------------------------------------
+
+    def _shard_blocks(self, tree):
+        """Constrain block-axis arrays to the mesh (no-op without a mesh)."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P(self.axis_name))
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(a, sh), tree
+        )
+
+    # -- initial state ------------------------------------------------------
+
+    def init_state(self) -> IPState:
+        b = self.bounds
+        base.validate_bounds(
+            np.asarray(b.xl["blocks"]), np.asarray(b.xu["blocks"])
+        )
+        base.validate_bounds(np.asarray(b.gl), np.asarray(b.gu))
+        x = base.process_init(self.spec.x0, b.xl["blocks"], b.xu["blocks"])
+        c = jnp.zeros(self.ncv)
+        s0 = self.fns.c_ineq(self.spec.x0, self.params, self.x_mask, self.ineq_mask)
+        s = base.process_init(s0, b.gl, b.gu)
+        zl = base.process_init_duals_lb(
+            jnp.where(jnp.isneginf(b.xl["blocks"]), 0.0, 1.0), b.xl["blocks"]
+        )
+        zu = base.process_init_duals_ub(
+            jnp.where(jnp.isposinf(b.xu["blocks"]), 0.0, 1.0), b.xu["blocks"]
+        )
+        vl = base.process_init_duals_lb(jnp.zeros((self.N, self.mi)), b.gl)
+        vu = base.process_init_duals_ub(jnp.zeros((self.N, self.mi)), b.gu)
+        zeros_c = jnp.zeros(self.ncv)
+        state = IPState(
+            primals={"blocks": x, "coupling": c},
+            slacks=s,
+            duals_eq={
+                "own": jnp.zeros((self.N, self.me)),
+                "bwd": jnp.zeros((self.N, self.ns)),
+                "fwd": jnp.zeros((self.N, self.ns)),
+            },
+            duals_ineq=jnp.zeros((self.N, self.mi)),
+            duals_primals_lb={"blocks": zl, "coupling": zeros_c},
+            duals_primals_ub={"blocks": zu, "coupling": zeros_c},
+            duals_slacks_lb=vl,
+            duals_slacks_ub=vu,
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P(self.axis_name))
+            repl = NamedSharding(self.mesh, P())
+
+            def place(a):
+                if a.ndim >= 1 and a.shape[0] == self.N:
+                    return jax.device_put(a, shard)
+                return jax.device_put(a, repl)
+
+            state = jax.tree_util.tree_map(place, state)
+        return state
+
+    # -- gather/scatter helpers ---------------------------------------------
+
+    def _gather_coupling(self, c):
+        """c values seen by each block's (bwd, fwd) link rows: (N, 2ns)."""
+        c_pad = jnp.concatenate([c, jnp.zeros(1, dtype=c.dtype)])
+        return c_pad[self.row_idx]
+
+    def _link_duals(self, duals_eq):
+        """(N, 2ns) masked link duals [lambda_bwd, lambda_fwd]."""
+        lam = jnp.concatenate([duals_eq["bwd"], duals_eq["fwd"]], axis=1)
+        return lam * self.link_mask
+
+    def _link_resid(self, x, c):
+        """(N, 2ns) masked link residuals (B x - c_prev, F x - c_own)."""
+        lx = jnp.einsum("bln,bn->bl", self.link_rows, x)  # x at start/end states
+        return (lx - self._gather_coupling(c) * self.link_mask) * self.link_mask
+
+    def _scatter_link_duals_to_coupling(self, duals_eq):
+        """-grad_lag wrt c: sum of link duals mapped to their coupling var."""
+        lam = self._link_duals(duals_eq)
+        out = jnp.zeros(self.ncv + 1)
+        out = out.at[self.row_idx].add(lam)
+        return out[: self.ncv]
+
+    def _grad_lag_primals(self, state, jac_eq, jac_ineq, grad_f):
+        """Block part of grad_lag wrt x, including link-dual terms."""
+        g = (
+            self.obj_factor * grad_f
+            + jnp.einsum("bmn,bm->bn", jac_eq, state.duals_eq["own"])
+            + jnp.einsum("bmn,bm->bn", jac_ineq, state.duals_ineq)
+            + jnp.einsum(
+                "bln,bl->bn", self.link_rows, self._link_duals(state.duals_eq)
+            )
+        )
+        return g
+
+    # -- convergence ---------------------------------------------------------
+
+    def convergence_info(self, state, barrier, error_scaling=100.0) -> ConvergenceInfo:
+        return self._convergence_info(state, self.bounds, barrier, error_scaling)
+
+    def _convergence_info_impl(self, state, bounds, barrier, error_scaling):
+        fns = self.fns
+        x = state.primals["blocks"]
+        c = state.primals["coupling"]
+        args = (x, self.params, self.x_mask)
+        grad_f = fns.grad_f(*args)
+        jac_eq = fns.jac_eq(*args, self.eq_mask)
+        jac_ineq = fns.jac_ineq(*args, self.ineq_mask)
+        eq_resid_own = fns.c_eq(*args, self.eq_mask)
+        ineq_resid = fns.c_ineq(*args, self.ineq_mask) - state.slacks
+        link_resid = self._link_resid(x, c)
+
+        glp_blocks = (
+            self._grad_lag_primals(state, jac_eq, jac_ineq, grad_f)
+            - state.duals_primals_lb["blocks"]
+            + state.duals_primals_ub["blocks"]
+        )
+        glp_coupling = -self._scatter_link_duals_to_coupling(state.duals_eq)
+        grad_lag_primals = jnp.concatenate(
+            [glp_blocks.reshape(-1), glp_coupling]
+        )
+        grad_lag_slacks = (
+            -state.duals_ineq - state.duals_slacks_lb + state.duals_slacks_ub
+        )
+
+        return base.convergence_metrics(
+            objective=fns.total_objective(*args),
+            grad_lag_primals=grad_lag_primals,
+            grad_lag_slacks=grad_lag_slacks.reshape(-1),
+            eq_resid=jnp.concatenate(
+                [eq_resid_own.reshape(-1), link_resid.reshape(-1)]
+            ),
+            ineq_resid=ineq_resid.reshape(-1),
+            primals=jnp.concatenate([x.reshape(-1), c]),
+            primals_lb=jnp.concatenate(
+                [bounds.xl["blocks"].reshape(-1), bounds.xl["coupling"]]
+            ),
+            primals_ub=jnp.concatenate(
+                [bounds.xu["blocks"].reshape(-1), bounds.xu["coupling"]]
+            ),
+            duals_primals_lb=jnp.concatenate(
+                [
+                    state.duals_primals_lb["blocks"].reshape(-1),
+                    state.duals_primals_lb["coupling"],
+                ]
+            ),
+            duals_primals_ub=jnp.concatenate(
+                [
+                    state.duals_primals_ub["blocks"].reshape(-1),
+                    state.duals_primals_ub["coupling"],
+                ]
+            ),
+            slacks=state.slacks.reshape(-1),
+            ineq_lb=bounds.gl.reshape(-1),
+            ineq_ub=bounds.gu.reshape(-1),
+            duals_slacks_lb=state.duals_slacks_lb.reshape(-1),
+            duals_slacks_ub=state.duals_slacks_ub.reshape(-1),
+            duals_eq=jnp.concatenate(
+                [
+                    state.duals_eq["own"].reshape(-1),
+                    self._link_duals(state.duals_eq).reshape(-1),
+                ]
+            ),
+            duals_ineq=state.duals_ineq.reshape(-1),
+            n_duals_eq=self.n_eq_real,
+            n_duals_ineq=self.n_ineq_real,
+            barrier=barrier,
+            error_scaling=error_scaling,
+        )
+
+    # -- KKT evaluation ------------------------------------------------------
+
+    def eval_kkt_data(self, state, barrier):
+        return self._eval_kkt_data(state, self.bounds, barrier)
+
+    def _eval_kkt_data_impl(self, state, bounds, barrier):
+        fns = self.fns
+        x = state.primals["blocks"]
+        c = state.primals["coupling"]
+        s = state.slacks
+        args = (x, self.params, self.x_mask)
+        hess = fns.hess_lag(
+            x,
+            state.duals_eq["own"],
+            state.duals_ineq,
+            jnp.full(self.N, self.obj_factor),
+            self.params,
+            self.x_mask,
+            self.eq_mask,
+            self.ineq_mask,
+        )
+        jac_eq = fns.jac_eq(*args, self.eq_mask)
+        jac_ineq = fns.jac_ineq(*args, self.ineq_mask)
+        sigma_x = base.barrier_hessian_diag(
+            x,
+            bounds.xl["blocks"],
+            bounds.xu["blocks"],
+            state.duals_primals_lb["blocks"],
+            state.duals_primals_ub["blocks"],
+        )
+        sigma_s = base.barrier_hessian_diag(
+            s, bounds.gl, bounds.gu, state.duals_slacks_lb, state.duals_slacks_ub
+        )
+        data = BlockKKTData(
+            hess=self._shard_blocks(hess),
+            jac_eq=self._shard_blocks(jac_eq),
+            jac_ineq=self._shard_blocks(jac_ineq),
+            sigma_x=self._shard_blocks(sigma_x),
+            sigma_s=self._shard_blocks(sigma_s),
+        )
+
+        # rhs ------------------------------------------------------------
+        grad_f = fns.grad_f(*args)
+        rhs_x = -(
+            self._grad_lag_primals(state, jac_eq, jac_ineq, grad_f)
+            + base.barrier_grad_term(
+                x, bounds.xl["blocks"], bounds.xu["blocks"], barrier
+            )
+        )
+        rhs_s = -(
+            -state.duals_ineq
+            + base.barrier_grad_term(s, bounds.gl, bounds.gu, barrier)
+        )
+        rhs_yeq = -fns.c_eq(*args, self.eq_mask)
+        rhs_yineq = -(fns.c_ineq(*args, self.ineq_mask) - s)
+        rhs_lam = -self._link_resid(x, c)
+        rhs_blocks = jnp.concatenate(
+            [rhs_x, rhs_s, rhs_yeq, rhs_yineq, rhs_lam], axis=1
+        )
+        rhs_coupling = self._scatter_link_duals_to_coupling(state.duals_eq)
+        rhs = BlockRhs(
+            blocks=self._shard_blocks(rhs_blocks), coupling=rhs_coupling
+        )
+        return data, rhs
+
+    def assemble_kkt(self, data_and_rhs, w_reg, c_reg) -> LocalBlockKKT:
+        return self._assemble_kkt(
+            data_and_rhs[0], jnp.asarray(w_reg), jnp.asarray(c_reg)
+        )
+
+    def _assemble_kkt_impl(self, data, w_reg, c_reg):
+        diag = assemble_block_diag(
+            data,
+            self.eq_mask,
+            self.ineq_mask,
+            self.x_mask,
+            self.link_rows,
+            self.link_mask,
+            w_reg,
+            c_reg,
+        )
+        # coupling variables are primal: Q = +c_reg * I under regularization
+        # (the reference *sets* the coupling-var diagonal to the hessian-reg
+        # coefficient, sc_ip_interface.py:925-933; both coefficients share
+        # the same value in numeric_factorization, interior_point.py:385-386)
+        q = c_reg * jnp.eye(self.ncv, dtype=diag.dtype)
+        return LocalBlockKKT.make(
+            diag=self._shard_blocks(diag),
+            border_loc=self._shard_blocks(self.border_loc),
+            row_idx=self._shard_blocks(self.row_idx),
+            q=q,
+        )
+
+    def kkt_rhs(self, data_and_rhs) -> BlockRhs:
+        return data_and_rhs[1]
+
+    # -- delta extraction ----------------------------------------------------
+
+    def extract_deltas(self, state, sol: BlockRhs, barrier) -> IPState:
+        return self._extract_deltas(state, self.bounds, sol, barrier)
+
+    def _extract_deltas_impl(self, state, bounds, sol, barrier):
+        n, me, mi, ns = self.n, self.me, self.mi, self.ns
+        blocks = sol.blocks
+        dx = blocks[:, self.off_x : self.off_x + n]
+        ds = blocks[:, self.off_s : self.off_s + mi]
+        dyeq = blocks[:, self.off_yeq : self.off_yeq + me]
+        dyineq = blocks[:, self.off_yineq : self.off_yineq + mi]
+        dlam_bwd = blocks[:, self.off_lam : self.off_lam + ns] * self.bwd_mask
+        dlam_fwd = blocks[:, self.off_lam + ns : self.off_lam + 2 * ns] * self.fwd_mask
+        dc = sol.coupling
+        dzl = base.delta_duals_lb(
+            barrier,
+            state.duals_primals_lb["blocks"],
+            dx,
+            state.primals["blocks"],
+            bounds.xl["blocks"],
+        )
+        dzu = base.delta_duals_ub(
+            barrier,
+            state.duals_primals_ub["blocks"],
+            dx,
+            state.primals["blocks"],
+            bounds.xu["blocks"],
+        )
+        dvl = base.delta_duals_lb(
+            barrier, state.duals_slacks_lb, ds, state.slacks, bounds.gl
+        )
+        dvu = base.delta_duals_ub(
+            barrier, state.duals_slacks_ub, ds, state.slacks, bounds.gu
+        )
+        zeros_c = jnp.zeros(self.ncv)
+        return IPState(
+            primals={"blocks": dx, "coupling": dc},
+            slacks=ds,
+            duals_eq={"own": dyeq, "bwd": dlam_bwd, "fwd": dlam_fwd},
+            duals_ineq=dyineq,
+            duals_primals_lb={"blocks": dzl, "coupling": zeros_c},
+            duals_primals_ub={"blocks": dzu, "coupling": zeros_c},
+            duals_slacks_lb=dvl,
+            duals_slacks_ub=dvu,
+        )
+
+    # -- fraction to the boundary -------------------------------------------
+
+    def fraction_to_the_boundary(self, state, deltas, tau):
+        return self._fraction_to_the_boundary(state, deltas, self.bounds, tau)
+
+    def _ftb_impl(self, state, deltas, bounds, tau):
+        x = state.primals["blocks"].reshape(-1)
+        dx = deltas.primals["blocks"].reshape(-1)
+        a_p = jnp.minimum(
+            jnp.minimum(
+                base.ftb_lb(tau, x, dx, bounds.xl["blocks"].reshape(-1)),
+                base.ftb_ub(tau, x, dx, bounds.xu["blocks"].reshape(-1)),
+            ),
+            jnp.minimum(
+                base.ftb_lb(
+                    tau,
+                    state.slacks.reshape(-1),
+                    deltas.slacks.reshape(-1),
+                    bounds.gl.reshape(-1),
+                ),
+                base.ftb_ub(
+                    tau,
+                    state.slacks.reshape(-1),
+                    deltas.slacks.reshape(-1),
+                    bounds.gu.reshape(-1),
+                ),
+            ),
+        )
+        a_d = jnp.minimum(
+            jnp.minimum(
+                base.ftb_duals(
+                    tau,
+                    state.duals_primals_lb["blocks"].reshape(-1),
+                    deltas.duals_primals_lb["blocks"].reshape(-1),
+                ),
+                base.ftb_duals(
+                    tau,
+                    state.duals_primals_ub["blocks"].reshape(-1),
+                    deltas.duals_primals_ub["blocks"].reshape(-1),
+                ),
+            ),
+            jnp.minimum(
+                base.ftb_duals(
+                    tau,
+                    state.duals_slacks_lb.reshape(-1),
+                    deltas.duals_slacks_lb.reshape(-1),
+                ),
+                base.ftb_duals(
+                    tau,
+                    state.duals_slacks_ub.reshape(-1),
+                    deltas.duals_slacks_ub.reshape(-1),
+                ),
+            ),
+        )
+        return a_p, a_d
+
+    # -- step update ---------------------------------------------------------
+
+    def apply_step(self, state, deltas, alpha_primal, alpha_dual, alpha=1.0) -> IPState:
+        return self._apply_step(state, deltas, alpha_primal, alpha_dual, alpha)
+
+    def _apply_step_impl(self, state, deltas, a_p, a_d, alpha):
+        ap = alpha * a_p
+        ad = alpha * a_d
+        add = lambda coef: (lambda s, d: s + coef * d)
+        return IPState(
+            primals=jax.tree_util.tree_map(add(ap), state.primals, deltas.primals),
+            slacks=state.slacks + ap * deltas.slacks,
+            duals_eq=jax.tree_util.tree_map(add(ad), state.duals_eq, deltas.duals_eq),
+            duals_ineq=state.duals_ineq + ad * deltas.duals_ineq,
+            duals_primals_lb=jax.tree_util.tree_map(
+                add(ad), state.duals_primals_lb, deltas.duals_primals_lb
+            ),
+            duals_primals_ub=jax.tree_util.tree_map(
+                add(ad), state.duals_primals_ub, deltas.duals_primals_ub
+            ),
+            duals_slacks_lb=state.duals_slacks_lb + ad * deltas.duals_slacks_lb,
+            duals_slacks_ub=state.duals_slacks_ub + ad * deltas.duals_slacks_ub,
         )

@@ -10,7 +10,12 @@ per diagonal block with a solver for the Schur complement.
 from parapint_tpu.linalg.results import LinearSolverStatus, LinearSolverResults
 from parapint_tpu.linalg.base import LinearSolver
 from parapint_tpu.linalg.dense import DenseLDLSolver, DenseLUSolver
-from parapint_tpu.linalg.schur import SchurComplementSolver, BlockKKT
+from parapint_tpu.linalg.schur import (
+    SchurComplementSolver,
+    BlockKKT,
+    LocalBlockKKT,
+    BlockRhs,
+)
 from parapint_tpu.linalg.sharded_schur import ShardedSchurComplementSolver
 
 __all__ = [
@@ -22,4 +27,6 @@ __all__ = [
     "SchurComplementSolver",
     "ShardedSchurComplementSolver",
     "BlockKKT",
+    "LocalBlockKKT",
+    "BlockRhs",
 ]

@@ -67,6 +67,48 @@ class BlockKKT:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class LocalBlockKKT:
+    """Block-bordered KKT with *block-local* borders.
+
+    The reference stores each border A_i as a sparse matrix whose nonzero
+    rows it discovers at runtime (``_BorderMatrix``,
+    mpi_explicit_schur_complement.py:33-58).  Here each block instead carries
+    a dense (L, nk) strip of its L local coupling rows plus a static map
+    ``row_idx`` from local row to global Schur-complement row; the SC is
+    assembled with one batched matmul and a scatter-add.  This keeps border
+    storage O(N * L * nk) instead of O(N * nc * nk) — essential when the
+    coupling dimension nc grows with N (dynamic problems: nc = (N-1)*n_states).
+
+    diag:       (N, nk, nk)
+    border_loc: (N, L, nk)   local border rows (already masked: padding rows
+                             are all-zero)
+    row_idx:    (N, L) int32 global SC row of each local row; masked rows
+                             point at the dump index ``nc``
+    q:          (nc, nc)     coupling block Q
+    mask:       (N,)         1.0 for logical blocks, 0.0 for padding blocks
+    """
+
+    diag: jax.Array
+    border_loc: jax.Array
+    row_idx: jax.Array
+    q: jax.Array
+    mask: jax.Array
+
+    @staticmethod
+    def make(diag, border_loc, row_idx, q, mask=None) -> "LocalBlockKKT":
+        if mask is None:
+            mask = jnp.ones(diag.shape[0], dtype=diag.dtype)
+        return LocalBlockKKT(
+            diag=diag,
+            border_loc=border_loc,
+            row_idx=jnp.asarray(row_idx, dtype=jnp.int32),
+            q=q,
+            mask=mask,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class BlockRhs:
     """Right-hand side / solution for a BlockKKT system.
 
@@ -82,11 +124,14 @@ class BlockRhs:
 @dataclasses.dataclass(frozen=True)
 class SchurFactor:
     block_LD: jax.Array  # (N, npad, npad) packed per-block LDL factors
-    border: jax.Array  # (N, nc, nk) saved for the back solve
+    border: object  # (N, nc, nk) for the dense-border path, else None
+    border_loc: object  # (N, L, nk) for the local-border path, else None
+    row_idx: object  # (N, L) int32 for the local-border path, else None
     sc_fact: object  # factorization pytree of the SC sub-solver
     inertia: jax.Array  # (3,) int32, blocks + SC
     status: jax.Array  # () int32
     nk: int = dataclasses.field(metadata=dict(static=True))
+    nc: int = dataclasses.field(metadata=dict(static=True))
 
 
 def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: float):
@@ -125,6 +170,43 @@ def _form_sc(LD: jax.Array, border: jax.Array, q: jax.Array, mask: jax.Array):
     return q - _sc_contribution(LD, border, mask)
 
 
+# -- local-border helpers ----------------------------------------------------
+
+
+def _sc_contribution_local(LD, border_loc, row_idx, nc: int):
+    """sum_i P_i (A_i K_i^{-1} A_i^T) P_i^T via batched solve + scatter-add.
+
+    Local rows scatter into global SC rows through ``row_idx``; masked rows
+    point at the dump index nc (sliced off).
+    """
+    V = jax.vmap(lambda ld, a: ldl_solve(ld, a.T))(LD, border_loc)  # (N, nk, L)
+    S_loc = jnp.einsum(
+        "bli,bik->blk", border_loc, V, preferred_element_type=border_loc.dtype
+    )  # (N, L, L)
+    out = jnp.zeros((nc + 1, nc + 1), dtype=border_loc.dtype)
+    out = out.at[row_idx[:, :, None], row_idx[:, None, :]].add(S_loc)
+    return out[:nc, :nc]
+
+
+def _border_apply_local(border_loc, row_idx, v, nc: int):
+    """sum_i P_i A_i v_i -> (nc,)"""
+    contrib = jnp.einsum(
+        "bli,bi->bl", border_loc, v, preferred_element_type=v.dtype
+    )
+    out = jnp.zeros(nc + 1, dtype=v.dtype)
+    out = out.at[row_idx].add(contrib)
+    return out[:nc]
+
+
+def _border_T_apply_local(border_loc, row_idx, y):
+    """A_i^T P_i^T y per block -> (N, nk)"""
+    y_pad = jnp.concatenate([y, jnp.zeros(1, dtype=y.dtype)])
+    y_loc = y_pad[row_idx]  # (N, L)
+    return jnp.einsum(
+        "bli,bl->bi", border_loc, y_loc, preferred_element_type=y.dtype
+    )
+
+
 class SchurComplementSolver(LinearSolver):
     """Serial (single-device) Schur-complement solver.
 
@@ -147,50 +229,78 @@ class SchurComplementSolver(LinearSolver):
         self.block_size = block_size
         self.zero_tol = zero_tol
 
-    def symbolic(self, kkt: BlockKKT) -> LinearSolverResults:
+    def symbolic(self, kkt) -> LinearSolverResults:
         N, nk, nk2 = kkt.diag.shape
         if nk != nk2:
             raise ValueError(f"diagonal blocks are not square: {kkt.diag.shape}")
         nc = kkt.q.shape[-1]
-        if kkt.border.shape != (N, nc, nk):
-            raise ValueError(
-                f"border shape {kkt.border.shape} inconsistent with "
-                f"diag {kkt.diag.shape} and q {kkt.q.shape}"
-            )
+        if isinstance(kkt, LocalBlockKKT):
+            if kkt.border_loc.shape[0] != N or kkt.border_loc.shape[2] != nk:
+                raise ValueError(
+                    f"border_loc shape {kkt.border_loc.shape} inconsistent "
+                    f"with diag {kkt.diag.shape}"
+                )
+            if kkt.row_idx.shape != kkt.border_loc.shape[:2]:
+                raise ValueError("row_idx must be (N, L)")
+        else:
+            if kkt.border.shape != (N, nc, nk):
+                raise ValueError(
+                    f"border shape {kkt.border.shape} inconsistent with "
+                    f"diag {kkt.diag.shape} and q {kkt.q.shape}"
+                )
         return LinearSolverResults(status=LinearSolverStatus.successful)
 
-    def numeric(self, kkt: BlockKKT) -> SchurFactor:
+    def numeric(self, kkt) -> SchurFactor:
         nk = kkt.diag.shape[-1]
+        nc = kkt.q.shape[-1]
+        local = isinstance(kkt, LocalBlockKKT)
         LD, blk_inertia, blk_status = _factor_blocks(
             kkt.diag, kkt.mask, self.block_size, self.zero_tol
         )
-        sc = _form_sc(LD, kkt.border, kkt.q, kkt.mask)
+        if local:
+            sc = kkt.q - _sc_contribution_local(LD, kkt.border_loc, kkt.row_idx, nc)
+        else:
+            sc = _form_sc(LD, kkt.border, kkt.q, kkt.mask)
         sc_fact = self.sc_solver.numeric(sc)
         sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
         inertia = blk_inertia + jnp.stack([sc_pos, sc_neg, sc_zero])
         status = jnp.maximum(blk_status, self.sc_solver.status(sc_fact))
         return SchurFactor(
             block_LD=LD,
-            border=kkt.border,
+            border=None if local else kkt.border,
+            border_loc=kkt.border_loc if local else None,
+            row_idx=kkt.row_idx if local else None,
             sc_fact=sc_fact,
             inertia=inertia,
             status=status,
             nk=nk,
+            nc=nc,
         )
 
     def solve(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
         nk = fact.nk
+        local = fact.border is None
         # local block solves (reference back solve pass 1,
         # explicit_schur_complement.py:144-148)
         v = jax.vmap(lambda ld, b: ldl_solve(ld, b))(fact.block_LD, rhs.blocks)
-        sc_rhs = rhs.coupling - jnp.einsum(
-            "bci,bi->c", fact.border, v, preferred_element_type=v.dtype
-        )
+        if local:
+            sc_rhs = rhs.coupling - _border_apply_local(
+                fact.border_loc, fact.row_idx, v, fact.nc
+            )
+        else:
+            sc_rhs = rhs.coupling - jnp.einsum(
+                "bci,bi->c", fact.border, v, preferred_element_type=v.dtype
+            )
         y = self.sc_solver.solve(fact.sc_fact, sc_rhs)
         # second block pass with the coupling solution substituted
-        rhs2 = rhs.blocks - jnp.einsum(
-            "bci,c->bi", fact.border, y, preferred_element_type=v.dtype
-        )
+        if local:
+            rhs2 = rhs.blocks - _border_T_apply_local(
+                fact.border_loc, fact.row_idx, y
+            )
+        else:
+            rhs2 = rhs.blocks - jnp.einsum(
+                "bci,c->bi", fact.border, y, preferred_element_type=v.dtype
+            )
         x = jax.vmap(lambda ld, b: ldl_solve(ld, b))(fact.block_LD, rhs2)
         return BlockRhs(blocks=x[:, :nk], coupling=y)
 

@@ -29,7 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from parapint_tpu.linalg.base import LinearSolver
 from parapint_tpu.linalg.dense import DenseLDLSolver
@@ -37,9 +37,13 @@ from parapint_tpu.linalg.results import LinearSolverResults, LinearSolverStatus
 from parapint_tpu.linalg.schur import (
     BlockKKT,
     BlockRhs,
+    LocalBlockKKT,
     SchurFactor,
+    _border_apply_local,
+    _border_T_apply_local,
     _factor_blocks,
     _sc_contribution,
+    _sc_contribution_local,
 )
 from parapint_tpu.ops.ldl import ldl_solve
 
@@ -73,7 +77,7 @@ class ShardedSchurComplementSolver(LinearSolver):
         self.zero_tol = zero_tol
         self.n_shards = mesh.shape[axis_name]
 
-    def symbolic(self, kkt: BlockKKT) -> LinearSolverResults:
+    def symbolic(self, kkt) -> LinearSolverResults:
         N = kkt.diag.shape[0]
         if N % self.n_shards != 0:
             raise ValueError(
@@ -83,7 +87,10 @@ class ShardedSchurComplementSolver(LinearSolver):
             )
         nc = kkt.q.shape[-1]
         nk = kkt.diag.shape[-1]
-        if kkt.border.shape != (N, nc, nk):
+        if isinstance(kkt, LocalBlockKKT):
+            if kkt.row_idx.shape != kkt.border_loc.shape[:2]:
+                raise ValueError("row_idx must be (N, L)")
+        elif kkt.border.shape != (N, nc, nk):
             raise ValueError(
                 f"border shape {kkt.border.shape} inconsistent with "
                 f"diag {kkt.diag.shape} and q {kkt.q.shape}"
@@ -92,17 +99,23 @@ class ShardedSchurComplementSolver(LinearSolver):
 
     # -- numeric -----------------------------------------------------------
 
-    def numeric(self, kkt: BlockKKT) -> SchurFactor:
+    def numeric(self, kkt) -> SchurFactor:
         ax = self.axis_name
+        local = isinstance(kkt, LocalBlockKKT)
+        nc = kkt.q.shape[-1]
 
-        def _numeric(diag, border, q, mask):
+        def _numeric(diag, border, row_idx, q, mask):
             # local shard: batched LDL^T of owned blocks
             LD, blk_inertia, blk_status = _factor_blocks(
                 diag, mask, self.block_size, self.zero_tol
             )
             # S = Q - psum_i A_i K_i^{-1} A_i^T  (ICI all-reduce;
             # reference: comm.Allreduce of SC data, :343)
-            sc = q - jax.lax.psum(_sc_contribution(LD, border, mask), ax)
+            if local:
+                contrib = _sc_contribution_local(LD, border, row_idx, nc)
+            else:
+                contrib = _sc_contribution(LD, border, mask)
+            sc = q - jax.lax.psum(contrib, ax)
             blk_inertia = jax.lax.psum(blk_inertia, ax)
             blk_status = jax.lax.pmax(blk_status, ax)
             # replicated SC factorization on every shard (reference :352-360)
@@ -112,21 +125,28 @@ class ShardedSchurComplementSolver(LinearSolver):
             status = jnp.maximum(blk_status, self.sc_solver.status(sc_fact))
             return LD, sc_fact, inertia, status
 
+        border_arg = kkt.border_loc if local else kkt.border
+        row_idx_arg = kkt.row_idx if local else jnp.zeros(
+            (kkt.diag.shape[0], 1), dtype=jnp.int32
+        )
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), self._sc_fact_struct(kkt))
         LD, sc_fact, inertia, status = shard_map(
             _numeric,
             mesh=self.mesh,
-            in_specs=(P(ax), P(ax), P(), P(ax)),
+            in_specs=(P(ax), P(ax), P(ax), P(), P(ax)),
             out_specs=(P(ax), sc_fact_specs, P(), P()),
             check_vma=False,
-        )(kkt.diag, kkt.border, kkt.q, kkt.mask)
+        )(kkt.diag, border_arg, row_idx_arg, kkt.q, kkt.mask)
         return SchurFactor(
             block_LD=LD,
-            border=kkt.border,
+            border=None if local else kkt.border,
+            border_loc=kkt.border_loc if local else None,
+            row_idx=kkt.row_idx if local else None,
             sc_fact=sc_fact,
             inertia=inertia,
             status=status,
             nk=kkt.diag.shape[-1],
+            nc=nc,
         )
 
     def _sc_fact_struct(self, kkt: BlockKKT):
@@ -140,30 +160,44 @@ class ShardedSchurComplementSolver(LinearSolver):
     def solve(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
         ax = self.axis_name
         nk = fact.nk
+        nc = fact.nc
+        local = fact.border is None
 
-        def _solve(LD, border, sc_fact, blocks, coupling):
+        def _solve(LD, border, row_idx, sc_fact, blocks, coupling):
             v = jax.vmap(lambda ld, b: ldl_solve(ld, b))(LD, blocks)
             # SC rhs reduction (reference: comm.Allreduce(sc_rhs), :387)
-            contrib = jnp.einsum(
-                "bci,bi->c", border, v, preferred_element_type=v.dtype
-            )
+            if local:
+                contrib = _border_apply_local(border, row_idx, v, nc)
+            else:
+                contrib = jnp.einsum(
+                    "bci,bi->c", border, v, preferred_element_type=v.dtype
+                )
             sc_rhs = coupling - jax.lax.psum(contrib, ax)
             # redundant SC solve per shard (reference :391)
             y = self.sc_solver.solve(sc_fact, sc_rhs)
-            rhs2 = blocks - jnp.einsum(
-                "bci,c->bi", border, y, preferred_element_type=v.dtype
-            )
+            if local:
+                rhs2 = blocks - _border_T_apply_local(border, row_idx, y)
+            else:
+                rhs2 = blocks - jnp.einsum(
+                    "bci,c->bi", border, y, preferred_element_type=v.dtype
+                )
             x = jax.vmap(lambda ld, b: ldl_solve(ld, b))(LD, rhs2)
             return x[:, :nk], y
 
+        border_arg = fact.border_loc if local else fact.border
+        row_idx_arg = (
+            fact.row_idx
+            if local
+            else jnp.zeros((fact.block_LD.shape[0], 1), dtype=jnp.int32)
+        )
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), fact.sc_fact)
         x, y = shard_map(
             _solve,
             mesh=self.mesh,
-            in_specs=(P(ax), P(ax), sc_fact_specs, P(ax), P()),
+            in_specs=(P(ax), P(ax), P(ax), sc_fact_specs, P(ax), P()),
             out_specs=(P(ax), P()),
             check_vma=False,
-        )(fact.block_LD, fact.border, fact.sc_fact, rhs.blocks, rhs.coupling)
+        )(fact.block_LD, border_arg, row_idx_arg, fact.sc_fact, rhs.blocks, rhs.coupling)
         return BlockRhs(blocks=x, coupling=y)
 
     def inertia(self, fact: SchurFactor):

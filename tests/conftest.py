@@ -5,16 +5,17 @@ CI node (/root/reference/.github/workflows/main_ci.yml:33-41); we do the
 same with XLA's virtual host devices: 8 CPU devices in one process, so all
 shard_map collectives execute for real in CI without a TPU pod.
 
-These environment variables must be set before jax (or anything importing
-jax) is imported, which is why this lives at the top of conftest.py.
+Env vars alone are not enough here: pytest plugins (jaxtyping, hypothesis)
+import jax before this conftest runs, so we also set the platform through
+the jax config API, which works any time before the backend is first used.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU tunnel plugin
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,104 @@
+"""Kernel-vs-dense-oracle tests for the LDL^T factorization.
+
+Mirrors the reference's kernel test tier (factor/solve against known
+solutions, /root/reference/parapint/linalg/tests/test_linear_solvers.py:63-99)
+with numpy as the oracle.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import jax
+import pytest
+
+from parapint_tpu.ops.ldl import (
+    batched_ldl_factor,
+    batched_ldl_solve,
+    ldl_factor,
+    ldl_inertia,
+    ldl_solve,
+)
+
+
+def random_sym(n, rng, definite=False):
+    A = rng.standard_normal((n, n))
+    A = 0.5 * (A + A.T)
+    if definite:
+        A = A @ A.T + n * np.eye(n)
+    return A
+
+
+def kkt_like(n, m, rng, c_reg=0.0):
+    H = rng.standard_normal((n, n))
+    H = H @ H.T + n * np.eye(n)
+    J = rng.standard_normal((m, n))
+    return np.block([[H, J.T], [J, -c_reg * np.eye(m)]])
+
+
+@pytest.mark.parametrize("n,m,bs", [(3, 0, 8), (20, 9, 8), (150, 70, 64), (100, 30, 128)])
+def test_factor_solve_vs_numpy(n, m, bs):
+    rng = np.random.default_rng(42)
+    K = kkt_like(n, m, rng, c_reg=1e-8)
+    LD, d = ldl_factor(jnp.asarray(K), block_size=bs)
+    x_true = rng.standard_normal(n + m)
+    rhs = K @ x_true
+    x = np.asarray(ldl_solve(LD, jnp.asarray(rhs)))
+    assert np.allclose(x, x_true, rtol=1e-8, atol=1e-8)
+    # multi-RHS
+    B = rng.standard_normal((n + m, 4))
+    X = np.asarray(ldl_solve(LD, jnp.asarray(B)))
+    assert np.allclose(K @ X, B, rtol=1e-7, atol=1e-7)
+
+
+@pytest.mark.parametrize("n,m", [(10, 4), (64, 64), (130, 17)])
+def test_inertia_vs_eigvalsh(n, m):
+    rng = np.random.default_rng(7)
+    K = kkt_like(n, m, rng, c_reg=1e-6)
+    LD, d = ldl_factor(jnp.asarray(K), block_size=32)
+    pos, neg, zero = ldl_inertia(d, n=n + m)
+    w = np.linalg.eigvalsh(K)
+    assert int(pos) == int((w > 0).sum())
+    assert int(neg) == int((w < 0).sum())
+    assert int(zero) == 0
+
+
+def test_singular_detection():
+    rng = np.random.default_rng(3)
+    A = random_sym(30, rng, definite=True)
+    A[:, 5] = 0.0
+    A[5, :] = 0.0
+    LD, d = ldl_factor(jnp.asarray(A), block_size=16)
+    pos, neg, zero = ldl_inertia(d, n=30)
+    assert int(pos) + int(neg) < 30  # zero pivot detected
+
+
+def test_indefinite_diagonal():
+    # pure diagonal: inertia must match the sign pattern exactly
+    diag = np.array([3.0, -1.0, 2.0, -4.0, 5.0])
+    LD, d = ldl_factor(jnp.asarray(np.diag(diag)), block_size=8)
+    pos, neg, zero = ldl_inertia(d, n=5)
+    assert (int(pos), int(neg), int(zero)) == (3, 2, 0)
+    x = np.asarray(ldl_solve(LD, jnp.asarray(np.ones(5))))
+    assert np.allclose(x, 1.0 / diag)
+
+
+def test_batched():
+    rng = np.random.default_rng(11)
+    Ks = np.stack([kkt_like(40, 15, rng, 1e-8) for _ in range(6)])
+    LDs, ds = batched_ldl_factor(jnp.asarray(Ks), 32)
+    rhs = rng.standard_normal((6, 55))
+    xs = np.asarray(batched_ldl_solve(LDs, jnp.asarray(rhs)))
+    for i in range(6):
+        assert np.allclose(Ks[i] @ xs[i], rhs[i], rtol=1e-7, atol=1e-7)
+
+
+def test_refactorization_same_shapes():
+    # factor, solve, re-factor a different matrix of identical shape (the IP
+    # loop's per-iteration pattern; reference re-runs numeric factorization
+    # in test_mpi_explicit_schur_complement.py:113-115)
+    rng = np.random.default_rng(19)
+    for seed in range(3):
+        K = kkt_like(33, 12, np.random.default_rng(seed), 1e-8)
+        LD, d = ldl_factor(jnp.asarray(K), block_size=16)
+        rhs = rng.standard_normal(45)
+        x = np.asarray(ldl_solve(LD, jnp.asarray(rhs)))
+        assert np.allclose(K @ x, rhs, rtol=1e-7, atol=1e-7)

@@ -1,0 +1,175 @@
+"""Schur-complement solver vs dense oracle.
+
+Mirrors the reference's SC tests: build a small block-bordered system, solve
+with the SC solver, compare against a monolithic dense solve, and compare
+the inertia against dense eigenvalues
+(/root/reference/parapint/linalg/schur_complement/tests/test_explicit_schur_complement.py:13-55).
+The sharded variant is checked for exact agreement with the serial solver on
+the 8-device CPU mesh (the reference's MPI-vs-serial twin test,
+test_mpi_explicit_schur_complement.py:22-115).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from parapint_tpu.linalg import (
+    BlockKKT,
+    DenseLDLSolver,
+    LinearSolverStatus,
+    SchurComplementSolver,
+    ShardedSchurComplementSolver,
+)
+from parapint_tpu.linalg.schur import BlockRhs
+
+
+def make_system(N=4, nk=12, nc=5, seed=0):
+    rng = np.random.default_rng(seed)
+    diag = np.zeros((N, nk, nk))
+    border = np.zeros((N, nc, nk))
+    for i in range(N):
+        A = rng.standard_normal((nk, nk))
+        diag[i] = A @ A.T + nk * np.eye(nk)  # SPD blocks for a clean oracle
+        border[i] = rng.standard_normal((nc, nk)) * (rng.random((nc, nk)) < 0.4)
+    q = rng.standard_normal((nc, nc))
+    q = q @ q.T + nc * np.eye(nc)
+    return diag, border, q
+
+
+def dense_assemble(diag, border, q):
+    N, nk, _ = diag.shape
+    nc = q.shape[0]
+    n = N * nk + nc
+    M = np.zeros((n, n))
+    for i in range(N):
+        M[i * nk : (i + 1) * nk, i * nk : (i + 1) * nk] = diag[i]
+        M[N * nk :, i * nk : (i + 1) * nk] = border[i]
+        M[i * nk : (i + 1) * nk, N * nk :] = border[i].T
+    M[N * nk :, N * nk :] = q
+    return M
+
+
+def run_solver(solver, diag, border, q, rhs_blocks, rhs_coupling):
+    kkt = BlockKKT.make(jnp.asarray(diag), jnp.asarray(border), jnp.asarray(q))
+    res = solver.symbolic(kkt)
+    assert res.status == LinearSolverStatus.successful
+    fact = solver.numeric(kkt)
+    assert (
+        LinearSolverStatus(int(solver.status(fact))) == LinearSolverStatus.successful
+    )
+    sol = solver.solve(
+        fact, BlockRhs(blocks=jnp.asarray(rhs_blocks), coupling=jnp.asarray(rhs_coupling))
+    )
+    return fact, np.asarray(sol.blocks), np.asarray(sol.coupling)
+
+
+@pytest.mark.parametrize("N,nk,nc", [(4, 12, 5), (3, 30, 1), (8, 16, 16)])
+def test_serial_schur_vs_dense(N, nk, nc):
+    diag, border, q = make_system(N, nk, nc)
+    M = dense_assemble(diag, border, q)
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal(M.shape[0])
+    rhs = M @ x_true
+    rhs_blocks = rhs[: N * nk].reshape(N, nk)
+    rhs_coupling = rhs[N * nk :]
+
+    solver = SchurComplementSolver(block_size=16)
+    fact, xb, xc = run_solver(solver, diag, border, q, rhs_blocks, rhs_coupling)
+
+    assert np.allclose(xb.reshape(-1), x_true[: N * nk], rtol=1e-8, atol=1e-8)
+    assert np.allclose(xc, x_true[N * nk :], rtol=1e-8, atol=1e-8)
+
+    pos, neg, zero = solver.inertia(fact)
+    w = np.linalg.eigvalsh(M)
+    # note: block inertia + SC inertia equals the global inertia (Haynsworth)
+    assert int(pos) == (w > 0).sum()
+    assert int(neg) == (w < 0).sum()
+    assert int(zero) == 0
+
+
+def test_indefinite_blocks():
+    # saddle-point diagonal blocks (the real IP case)
+    rng = np.random.default_rng(5)
+    N, n, m, nc = 3, 8, 4, 3
+    nk = n + m
+    diag = np.zeros((N, nk, nk))
+    border = np.zeros((N, nc, nk))
+    for i in range(N):
+        H = rng.standard_normal((n, n))
+        H = H @ H.T + n * np.eye(n)
+        J = rng.standard_normal((m, n))
+        diag[i] = np.block([[H, J.T], [J, -1e-8 * np.eye(m)]])
+        border[i, :, :n] = rng.standard_normal((nc, n))
+    q = np.diag(rng.random(nc) + 1.0)
+    M = dense_assemble(diag, border, q)
+    x_true = rng.standard_normal(M.shape[0])
+    rhs = M @ x_true
+
+    solver = SchurComplementSolver(block_size=8)
+    fact, xb, xc = run_solver(
+        solver, diag, border, q, rhs[: N * nk].reshape(N, nk), rhs[N * nk :]
+    )
+    assert np.allclose(
+        np.concatenate([xb.reshape(-1), xc]), x_true, rtol=1e-7, atol=1e-7
+    )
+    pos, neg, zero = solver.inertia(fact)
+    w = np.linalg.eigvalsh(M)
+    assert (int(pos), int(neg), int(zero)) == ((w > 0).sum(), (w < 0).sum(), 0)
+
+
+def test_masked_padding_blocks():
+    # padding blocks (mask=0) must not affect solution or inertia
+    diag, border, q = make_system(4, 12, 5)
+    M = dense_assemble(diag, border, q)
+    rng = np.random.default_rng(2)
+    x_true = rng.standard_normal(M.shape[0])
+    rhs = M @ x_true
+
+    # append 2 identity padding blocks
+    pad_diag = np.concatenate([diag, np.tile(np.eye(12)[None], (2, 1, 1))])
+    pad_border = np.concatenate([border, np.zeros((2, 5, 12))])
+    mask = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0, 0.0])
+    kkt = BlockKKT.make(
+        jnp.asarray(pad_diag), jnp.asarray(pad_border), jnp.asarray(q), mask
+    )
+    solver = SchurComplementSolver(block_size=16)
+    fact = solver.numeric(kkt)
+    rhs_blocks = np.concatenate([rhs[:48].reshape(4, 12), np.zeros((2, 12))])
+    sol = solver.solve(
+        fact, BlockRhs(blocks=jnp.asarray(rhs_blocks), coupling=jnp.asarray(rhs[48:]))
+    )
+    assert np.allclose(np.asarray(sol.blocks)[:4].reshape(-1), x_true[:48])
+    assert np.allclose(np.asarray(sol.coupling), x_true[48:])
+    pos, neg, zero = solver.inertia(fact)
+    w = np.linalg.eigvalsh(M)
+    assert (int(pos), int(neg), int(zero)) == ((w > 0).sum(), (w < 0).sum(), 0)
+
+
+@pytest.mark.parametrize("N,nk,nc", [(8, 12, 5), (16, 8, 3)])
+def test_sharded_schur_matches_serial(N, nk, nc):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+
+    diag, border, q = make_system(N, nk, nc, seed=9)
+    M = dense_assemble(diag, border, q)
+    rng = np.random.default_rng(3)
+    x_true = rng.standard_normal(M.shape[0])
+    rhs = M @ x_true
+    rhs_blocks = rhs[: N * nk].reshape(N, nk)
+    rhs_coupling = rhs[N * nk :]
+
+    serial = SchurComplementSolver(block_size=8)
+    _, xb_s, xc_s = run_solver(serial, diag, border, q, rhs_blocks, rhs_coupling)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("blocks",))
+    sharded = ShardedSchurComplementSolver(mesh, "blocks", block_size=8)
+    fact, xb_p, xc_p = run_solver(sharded, diag, border, q, rhs_blocks, rhs_coupling)
+
+    assert np.allclose(xb_p, xb_s, rtol=1e-12, atol=1e-12)
+    assert np.allclose(xc_p, xc_s, rtol=1e-12, atol=1e-12)
+
+    pos, neg, zero = sharded.inertia(fact)
+    w = np.linalg.eigvalsh(M)
+    assert (int(pos), int(neg), int(zero)) == ((w > 0).sum(), (w < 0).sum(), 0)
