@@ -38,16 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from parapint_tpu.interfaces import base
-from parapint_tpu.interfaces.base import Bounds, ConvergenceInfo, IPState
-from parapint_tpu.interfaces.blocked import (
-    BatchedNLPFunctions,
-    BlockKKTData,
-    assemble_block_diag,
-    selector_rows,
-    sub_kkt_layout,
-)
-from parapint_tpu.linalg.schur import BlockRhs, LocalBlockKKT
+from parapint_tpu.interfaces.blocked import BatchedNLPFunctions, selector_rows
+from parapint_tpu.interfaces.structured import StructuredSCInterface
 
 
 @dataclasses.dataclass
@@ -144,7 +136,7 @@ class DynamicModelSpec:
         self.gu[~self.ineq_mask] = np.inf
 
 
-class DynamicSchurComplementInteriorPointInterface:
+class DynamicSchurComplementInteriorPointInterface(StructuredSCInterface):
     """Interface for dynamic problems (see module docstring).
 
     Parameters
@@ -157,45 +149,42 @@ class DynamicSchurComplementInteriorPointInterface:
 
     def __init__(self, spec: DynamicModelSpec, mesh=None, axis_name: str = "blocks"):
         self.spec = spec
-        self.mesh = mesh
-        self.axis_name = axis_name
         N = spec.num_blocks
         n, me, mi, ns = spec.n_x, spec.n_eq, spec.n_ineq, spec.num_states
         self.N, self.n, self.me, self.mi, self.ns = N, n, me, mi, ns
-        self.ncv = ns * (N - 1)  # coupling variables
+        self.ncv = ns * (N - 1)
         self.n_link = 2 * ns
-        (
-            self.off_x,
-            self.off_s,
-            self.off_yeq,
-            self.off_yineq,
-            self.off_lam,
-            self.nk,
-        ) = sub_kkt_layout(n, me, mi, self.n_link)
 
         self.fns = BatchedNLPFunctions(
             spec.objective, spec.eq_constraints, spec.ineq_constraints, n, me, mi
         )
-        self.obj_factor = 1.0
-        self._current_state = None
+        self.params = jax.tree_util.tree_map(jnp.asarray, spec.params)
+        self.eq_mask = jnp.asarray(spec.eq_mask)
+        self.ineq_mask = jnp.asarray(spec.ineq_mask)
+        self.x_mask = jnp.asarray(spec.x_mask)
+        self._xl, self._xu = spec.xl, spec.xu
+        self._gl, self._gu = spec.gl, spec.gu
+        self.x0 = spec.x0
 
-        # static masks / link structure ---------------------------------
+        # link structure: rows [0, ns) = backward, [ns, 2ns) = forward
         blk = np.arange(N)
         bwd_mask = np.broadcast_to((blk > 0)[:, None], (N, ns)).astype(np.float64)
         fwd_mask = np.broadcast_to((blk < N - 1)[:, None], (N, ns)).astype(np.float64)
         self.bwd_mask = jnp.asarray(bwd_mask)
         self.fwd_mask = jnp.asarray(fwd_mask)
-        link_rows = np.concatenate(
-            [
-                selector_rows(spec.start_state_idx, bwd_mask, n),
-                selector_rows(spec.end_state_idx, fwd_mask, n),
-            ],
-            axis=1,
-        )  # (N, 2ns, n)
-        self.link_rows = jnp.asarray(link_rows)
+        self.link_rows = jnp.asarray(
+            np.concatenate(
+                [
+                    selector_rows(spec.start_state_idx, bwd_mask, n),
+                    selector_rows(spec.end_state_idx, fwd_mask, n),
+                ],
+                axis=1,
+            )
+        )
         self.link_mask = jnp.concatenate([self.bwd_mask, self.fwd_mask], axis=1)
 
-        # global SC row (= coupling var index) per local border row
+        # coupling var touched by each link row: backward -> c_{i-1},
+        # forward -> c_i; masked rows point at the dump index ncv
         DUMP = self.ncv
         row_idx = np.full((N, 2 * ns), DUMP, dtype=np.int32)
         for i in range(N):
@@ -205,495 +194,13 @@ class DynamicSchurComplementInteriorPointInterface:
                 row_idx[i, ns:] = i * ns + np.arange(ns)
         self.row_idx = jnp.asarray(row_idx)
 
-        # local border strips: c-row r couples to the matching lambda column
-        # with coefficient -1 (the -P link-coupling matrices of the
-        # reference, sc_ip_interface.py:392-420, 447-475)
-        border_loc = np.zeros((N, 2 * ns, self.nk))
-        for j in range(ns):
-            border_loc[:, j, self.off_lam + j] = -bwd_mask[:, j]
-            border_loc[:, ns + j, self.off_lam + ns + j] = -fwd_mask[:, j]
-        self.border_loc = jnp.asarray(border_loc)
+        self._finalize(mesh=mesh, axis_name=axis_name)
 
-        self.eq_mask = jnp.asarray(spec.eq_mask)
-        self.ineq_mask = jnp.asarray(spec.ineq_mask)
-        self.x_mask = jnp.asarray(spec.x_mask)
-        self.params = jax.tree_util.tree_map(jnp.asarray, spec.params)
+    # -- dynamic-specific accessors -----------------------------------------
 
-        # logical constraint counts (exclude padding)
-        self.n_eq_real = int(spec.eq_mask.sum()) + 2 * self.ncv
-        self.n_ineq_real = int(spec.ineq_mask.sum())
+    def get_duals_backward(self):
+        """Duals of the backward continuity constraints, (N, num_states)."""
+        return self._current_state.duals_eq["link"][:, : self.ns] * self.bwd_mask
 
-        self._bounds_relaxation_factor = 0.0
-        self._set_bounds()
-
-        self._convergence_info = jax.jit(self._convergence_info_impl)
-        self._eval_kkt_data = jax.jit(self._eval_kkt_data_impl)
-        self._assemble_kkt = jax.jit(self._assemble_kkt_impl)
-        self._extract_deltas = jax.jit(self._extract_deltas_impl)
-        self._fraction_to_the_boundary = jax.jit(self._ftb_impl)
-        self._apply_step = jax.jit(self._apply_step_impl)
-
-    # -- parity accessors --------------------------------------------------
-
-    def n_primals(self) -> int:
-        return self.N * self.n + self.ncv
-
-    def n_eq_constraints(self) -> int:
-        """Includes the coupling constraints (reference sc_ip_interface.py:593-600)."""
-        return self.n_eq_real
-
-    def n_ineq_constraints(self) -> int:
-        return self.n_ineq_real
-
-    @property
-    def n_duals_eq(self) -> int:
-        return self.n_eq_real
-
-    @property
-    def n_duals_ineq(self) -> int:
-        return self.n_ineq_real
-
-    @property
-    def expected_neg_eig(self) -> int:
-        """All constraint-family rows, real or padded (padded rows carry a
-        decoupled -1 diagonal, contributing one negative eigenvalue each)."""
-        return self.N * (self.me + self.mi + 2 * self.ns)
-
-    def get_state(self) -> IPState:
-        return self._current_state
-
-    def get_primals(self):
-        return self._current_state.primals
-
-    def get_block_primals(self, ndx: int):
-        """Primal values of time block ndx (unpadded columns included)."""
-        return self._current_state.primals["blocks"][ndx]
-
-    def get_coupling_values(self):
-        return self._current_state.primals["coupling"]
-
-    def evaluate_objective(self):
-        x = self._current_state.primals["blocks"]
-        return self.fns.total_objective(x, self.params, self.x_mask)
-
-    # -- bounds ------------------------------------------------------------
-
-    def get_bounds_relaxation_factor(self) -> float:
-        return self._bounds_relaxation_factor
-
-    def set_bounds_relaxation_factor(self, val: float) -> None:
-        self._bounds_relaxation_factor = val
-        self._set_bounds()
-
-    def _set_bounds(self) -> None:
-        f = self._bounds_relaxation_factor
-        s = self.spec
-        inf = jnp.inf
-        self.bounds = Bounds(
-            xl={
-                "blocks": base.relax_bounds_lower(jnp.asarray(s.xl), f),
-                "coupling": jnp.full(self.ncv, -inf),
-            },
-            xu={
-                "blocks": base.relax_bounds_upper(jnp.asarray(s.xu), f),
-                "coupling": jnp.full(self.ncv, inf),
-            },
-            gl=base.relax_bounds_lower(jnp.asarray(s.gl), f),
-            gu=base.relax_bounds_upper(jnp.asarray(s.gu), f),
-        )
-
-    # -- sharding ----------------------------------------------------------
-
-    def _shard_blocks(self, tree):
-        """Constrain block-axis arrays to the mesh (no-op without a mesh)."""
-        if self.mesh is None:
-            return tree
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        sh = NamedSharding(self.mesh, P(self.axis_name))
-        return jax.tree_util.tree_map(
-            lambda a: jax.lax.with_sharding_constraint(a, sh), tree
-        )
-
-    # -- initial state ------------------------------------------------------
-
-    def init_state(self) -> IPState:
-        b = self.bounds
-        base.validate_bounds(
-            np.asarray(b.xl["blocks"]), np.asarray(b.xu["blocks"])
-        )
-        base.validate_bounds(np.asarray(b.gl), np.asarray(b.gu))
-        x = base.process_init(self.spec.x0, b.xl["blocks"], b.xu["blocks"])
-        c = jnp.zeros(self.ncv)
-        s0 = self.fns.c_ineq(self.spec.x0, self.params, self.x_mask, self.ineq_mask)
-        s = base.process_init(s0, b.gl, b.gu)
-        zl = base.process_init_duals_lb(
-            jnp.where(jnp.isneginf(b.xl["blocks"]), 0.0, 1.0), b.xl["blocks"]
-        )
-        zu = base.process_init_duals_ub(
-            jnp.where(jnp.isposinf(b.xu["blocks"]), 0.0, 1.0), b.xu["blocks"]
-        )
-        vl = base.process_init_duals_lb(jnp.zeros((self.N, self.mi)), b.gl)
-        vu = base.process_init_duals_ub(jnp.zeros((self.N, self.mi)), b.gu)
-        zeros_c = jnp.zeros(self.ncv)
-        state = IPState(
-            primals={"blocks": x, "coupling": c},
-            slacks=s,
-            duals_eq={
-                "own": jnp.zeros((self.N, self.me)),
-                "bwd": jnp.zeros((self.N, self.ns)),
-                "fwd": jnp.zeros((self.N, self.ns)),
-            },
-            duals_ineq=jnp.zeros((self.N, self.mi)),
-            duals_primals_lb={"blocks": zl, "coupling": zeros_c},
-            duals_primals_ub={"blocks": zu, "coupling": zeros_c},
-            duals_slacks_lb=vl,
-            duals_slacks_ub=vu,
-        )
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            shard = NamedSharding(self.mesh, P(self.axis_name))
-            repl = NamedSharding(self.mesh, P())
-
-            def place(a):
-                if a.ndim >= 1 and a.shape[0] == self.N:
-                    return jax.device_put(a, shard)
-                return jax.device_put(a, repl)
-
-            state = jax.tree_util.tree_map(place, state)
-        return state
-
-    # -- gather/scatter helpers ---------------------------------------------
-
-    def _gather_coupling(self, c):
-        """c values seen by each block's (bwd, fwd) link rows: (N, 2ns)."""
-        c_pad = jnp.concatenate([c, jnp.zeros(1, dtype=c.dtype)])
-        return c_pad[self.row_idx]
-
-    def _link_duals(self, duals_eq):
-        """(N, 2ns) masked link duals [lambda_bwd, lambda_fwd]."""
-        lam = jnp.concatenate([duals_eq["bwd"], duals_eq["fwd"]], axis=1)
-        return lam * self.link_mask
-
-    def _link_resid(self, x, c):
-        """(N, 2ns) masked link residuals (B x - c_prev, F x - c_own)."""
-        lx = jnp.einsum("bln,bn->bl", self.link_rows, x)  # x at start/end states
-        return (lx - self._gather_coupling(c) * self.link_mask) * self.link_mask
-
-    def _scatter_link_duals_to_coupling(self, duals_eq):
-        """-grad_lag wrt c: sum of link duals mapped to their coupling var."""
-        lam = self._link_duals(duals_eq)
-        out = jnp.zeros(self.ncv + 1)
-        out = out.at[self.row_idx].add(lam)
-        return out[: self.ncv]
-
-    def _grad_lag_primals(self, state, jac_eq, jac_ineq, grad_f):
-        """Block part of grad_lag wrt x, including link-dual terms."""
-        g = (
-            self.obj_factor * grad_f
-            + jnp.einsum("bmn,bm->bn", jac_eq, state.duals_eq["own"])
-            + jnp.einsum("bmn,bm->bn", jac_ineq, state.duals_ineq)
-            + jnp.einsum(
-                "bln,bl->bn", self.link_rows, self._link_duals(state.duals_eq)
-            )
-        )
-        return g
-
-    # -- convergence ---------------------------------------------------------
-
-    def convergence_info(self, state, barrier, error_scaling=100.0) -> ConvergenceInfo:
-        return self._convergence_info(state, self.bounds, barrier, error_scaling)
-
-    def _convergence_info_impl(self, state, bounds, barrier, error_scaling):
-        fns = self.fns
-        x = state.primals["blocks"]
-        c = state.primals["coupling"]
-        args = (x, self.params, self.x_mask)
-        grad_f = fns.grad_f(*args)
-        jac_eq = fns.jac_eq(*args, self.eq_mask)
-        jac_ineq = fns.jac_ineq(*args, self.ineq_mask)
-        eq_resid_own = fns.c_eq(*args, self.eq_mask)
-        ineq_resid = fns.c_ineq(*args, self.ineq_mask) - state.slacks
-        link_resid = self._link_resid(x, c)
-
-        glp_blocks = (
-            self._grad_lag_primals(state, jac_eq, jac_ineq, grad_f)
-            - state.duals_primals_lb["blocks"]
-            + state.duals_primals_ub["blocks"]
-        )
-        glp_coupling = -self._scatter_link_duals_to_coupling(state.duals_eq)
-        grad_lag_primals = jnp.concatenate(
-            [glp_blocks.reshape(-1), glp_coupling]
-        )
-        grad_lag_slacks = (
-            -state.duals_ineq - state.duals_slacks_lb + state.duals_slacks_ub
-        )
-
-        return base.convergence_metrics(
-            objective=fns.total_objective(*args),
-            grad_lag_primals=grad_lag_primals,
-            grad_lag_slacks=grad_lag_slacks.reshape(-1),
-            eq_resid=jnp.concatenate(
-                [eq_resid_own.reshape(-1), link_resid.reshape(-1)]
-            ),
-            ineq_resid=ineq_resid.reshape(-1),
-            primals=jnp.concatenate([x.reshape(-1), c]),
-            primals_lb=jnp.concatenate(
-                [bounds.xl["blocks"].reshape(-1), bounds.xl["coupling"]]
-            ),
-            primals_ub=jnp.concatenate(
-                [bounds.xu["blocks"].reshape(-1), bounds.xu["coupling"]]
-            ),
-            duals_primals_lb=jnp.concatenate(
-                [
-                    state.duals_primals_lb["blocks"].reshape(-1),
-                    state.duals_primals_lb["coupling"],
-                ]
-            ),
-            duals_primals_ub=jnp.concatenate(
-                [
-                    state.duals_primals_ub["blocks"].reshape(-1),
-                    state.duals_primals_ub["coupling"],
-                ]
-            ),
-            slacks=state.slacks.reshape(-1),
-            ineq_lb=bounds.gl.reshape(-1),
-            ineq_ub=bounds.gu.reshape(-1),
-            duals_slacks_lb=state.duals_slacks_lb.reshape(-1),
-            duals_slacks_ub=state.duals_slacks_ub.reshape(-1),
-            duals_eq=jnp.concatenate(
-                [
-                    state.duals_eq["own"].reshape(-1),
-                    self._link_duals(state.duals_eq).reshape(-1),
-                ]
-            ),
-            duals_ineq=state.duals_ineq.reshape(-1),
-            n_duals_eq=self.n_eq_real,
-            n_duals_ineq=self.n_ineq_real,
-            barrier=barrier,
-            error_scaling=error_scaling,
-        )
-
-    # -- KKT evaluation ------------------------------------------------------
-
-    def eval_kkt_data(self, state, barrier):
-        return self._eval_kkt_data(state, self.bounds, barrier)
-
-    def _eval_kkt_data_impl(self, state, bounds, barrier):
-        fns = self.fns
-        x = state.primals["blocks"]
-        c = state.primals["coupling"]
-        s = state.slacks
-        args = (x, self.params, self.x_mask)
-        hess = fns.hess_lag(
-            x,
-            state.duals_eq["own"],
-            state.duals_ineq,
-            jnp.full(self.N, self.obj_factor),
-            self.params,
-            self.x_mask,
-            self.eq_mask,
-            self.ineq_mask,
-        )
-        jac_eq = fns.jac_eq(*args, self.eq_mask)
-        jac_ineq = fns.jac_ineq(*args, self.ineq_mask)
-        sigma_x = base.barrier_hessian_diag(
-            x,
-            bounds.xl["blocks"],
-            bounds.xu["blocks"],
-            state.duals_primals_lb["blocks"],
-            state.duals_primals_ub["blocks"],
-        )
-        sigma_s = base.barrier_hessian_diag(
-            s, bounds.gl, bounds.gu, state.duals_slacks_lb, state.duals_slacks_ub
-        )
-        data = BlockKKTData(
-            hess=self._shard_blocks(hess),
-            jac_eq=self._shard_blocks(jac_eq),
-            jac_ineq=self._shard_blocks(jac_ineq),
-            sigma_x=self._shard_blocks(sigma_x),
-            sigma_s=self._shard_blocks(sigma_s),
-        )
-
-        # rhs ------------------------------------------------------------
-        grad_f = fns.grad_f(*args)
-        rhs_x = -(
-            self._grad_lag_primals(state, jac_eq, jac_ineq, grad_f)
-            + base.barrier_grad_term(
-                x, bounds.xl["blocks"], bounds.xu["blocks"], barrier
-            )
-        )
-        rhs_s = -(
-            -state.duals_ineq
-            + base.barrier_grad_term(s, bounds.gl, bounds.gu, barrier)
-        )
-        rhs_yeq = -fns.c_eq(*args, self.eq_mask)
-        rhs_yineq = -(fns.c_ineq(*args, self.ineq_mask) - s)
-        rhs_lam = -self._link_resid(x, c)
-        rhs_blocks = jnp.concatenate(
-            [rhs_x, rhs_s, rhs_yeq, rhs_yineq, rhs_lam], axis=1
-        )
-        rhs_coupling = self._scatter_link_duals_to_coupling(state.duals_eq)
-        rhs = BlockRhs(
-            blocks=self._shard_blocks(rhs_blocks), coupling=rhs_coupling
-        )
-        return data, rhs
-
-    def assemble_kkt(self, data_and_rhs, w_reg, c_reg) -> LocalBlockKKT:
-        return self._assemble_kkt(
-            data_and_rhs[0], jnp.asarray(w_reg), jnp.asarray(c_reg)
-        )
-
-    def _assemble_kkt_impl(self, data, w_reg, c_reg):
-        diag = assemble_block_diag(
-            data,
-            self.eq_mask,
-            self.ineq_mask,
-            self.x_mask,
-            self.link_rows,
-            self.link_mask,
-            w_reg,
-            c_reg,
-        )
-        # coupling variables are primal: Q = +c_reg * I under regularization
-        # (the reference *sets* the coupling-var diagonal to the hessian-reg
-        # coefficient, sc_ip_interface.py:925-933; both coefficients share
-        # the same value in numeric_factorization, interior_point.py:385-386)
-        q = c_reg * jnp.eye(self.ncv, dtype=diag.dtype)
-        return LocalBlockKKT.make(
-            diag=self._shard_blocks(diag),
-            border_loc=self._shard_blocks(self.border_loc),
-            row_idx=self._shard_blocks(self.row_idx),
-            q=q,
-        )
-
-    def kkt_rhs(self, data_and_rhs) -> BlockRhs:
-        return data_and_rhs[1]
-
-    # -- delta extraction ----------------------------------------------------
-
-    def extract_deltas(self, state, sol: BlockRhs, barrier) -> IPState:
-        return self._extract_deltas(state, self.bounds, sol, barrier)
-
-    def _extract_deltas_impl(self, state, bounds, sol, barrier):
-        n, me, mi, ns = self.n, self.me, self.mi, self.ns
-        blocks = sol.blocks
-        dx = blocks[:, self.off_x : self.off_x + n]
-        ds = blocks[:, self.off_s : self.off_s + mi]
-        dyeq = blocks[:, self.off_yeq : self.off_yeq + me]
-        dyineq = blocks[:, self.off_yineq : self.off_yineq + mi]
-        dlam_bwd = blocks[:, self.off_lam : self.off_lam + ns] * self.bwd_mask
-        dlam_fwd = blocks[:, self.off_lam + ns : self.off_lam + 2 * ns] * self.fwd_mask
-        dc = sol.coupling
-        dzl = base.delta_duals_lb(
-            barrier,
-            state.duals_primals_lb["blocks"],
-            dx,
-            state.primals["blocks"],
-            bounds.xl["blocks"],
-        )
-        dzu = base.delta_duals_ub(
-            barrier,
-            state.duals_primals_ub["blocks"],
-            dx,
-            state.primals["blocks"],
-            bounds.xu["blocks"],
-        )
-        dvl = base.delta_duals_lb(
-            barrier, state.duals_slacks_lb, ds, state.slacks, bounds.gl
-        )
-        dvu = base.delta_duals_ub(
-            barrier, state.duals_slacks_ub, ds, state.slacks, bounds.gu
-        )
-        zeros_c = jnp.zeros(self.ncv)
-        return IPState(
-            primals={"blocks": dx, "coupling": dc},
-            slacks=ds,
-            duals_eq={"own": dyeq, "bwd": dlam_bwd, "fwd": dlam_fwd},
-            duals_ineq=dyineq,
-            duals_primals_lb={"blocks": dzl, "coupling": zeros_c},
-            duals_primals_ub={"blocks": dzu, "coupling": zeros_c},
-            duals_slacks_lb=dvl,
-            duals_slacks_ub=dvu,
-        )
-
-    # -- fraction to the boundary -------------------------------------------
-
-    def fraction_to_the_boundary(self, state, deltas, tau):
-        return self._fraction_to_the_boundary(state, deltas, self.bounds, tau)
-
-    def _ftb_impl(self, state, deltas, bounds, tau):
-        x = state.primals["blocks"].reshape(-1)
-        dx = deltas.primals["blocks"].reshape(-1)
-        a_p = jnp.minimum(
-            jnp.minimum(
-                base.ftb_lb(tau, x, dx, bounds.xl["blocks"].reshape(-1)),
-                base.ftb_ub(tau, x, dx, bounds.xu["blocks"].reshape(-1)),
-            ),
-            jnp.minimum(
-                base.ftb_lb(
-                    tau,
-                    state.slacks.reshape(-1),
-                    deltas.slacks.reshape(-1),
-                    bounds.gl.reshape(-1),
-                ),
-                base.ftb_ub(
-                    tau,
-                    state.slacks.reshape(-1),
-                    deltas.slacks.reshape(-1),
-                    bounds.gu.reshape(-1),
-                ),
-            ),
-        )
-        a_d = jnp.minimum(
-            jnp.minimum(
-                base.ftb_duals(
-                    tau,
-                    state.duals_primals_lb["blocks"].reshape(-1),
-                    deltas.duals_primals_lb["blocks"].reshape(-1),
-                ),
-                base.ftb_duals(
-                    tau,
-                    state.duals_primals_ub["blocks"].reshape(-1),
-                    deltas.duals_primals_ub["blocks"].reshape(-1),
-                ),
-            ),
-            jnp.minimum(
-                base.ftb_duals(
-                    tau,
-                    state.duals_slacks_lb.reshape(-1),
-                    deltas.duals_slacks_lb.reshape(-1),
-                ),
-                base.ftb_duals(
-                    tau,
-                    state.duals_slacks_ub.reshape(-1),
-                    deltas.duals_slacks_ub.reshape(-1),
-                ),
-            ),
-        )
-        return a_p, a_d
-
-    # -- step update ---------------------------------------------------------
-
-    def apply_step(self, state, deltas, alpha_primal, alpha_dual, alpha=1.0) -> IPState:
-        return self._apply_step(state, deltas, alpha_primal, alpha_dual, alpha)
-
-    def _apply_step_impl(self, state, deltas, a_p, a_d, alpha):
-        ap = alpha * a_p
-        ad = alpha * a_d
-        add = lambda coef: (lambda s, d: s + coef * d)
-        return IPState(
-            primals=jax.tree_util.tree_map(add(ap), state.primals, deltas.primals),
-            slacks=state.slacks + ap * deltas.slacks,
-            duals_eq=jax.tree_util.tree_map(add(ad), state.duals_eq, deltas.duals_eq),
-            duals_ineq=state.duals_ineq + ad * deltas.duals_ineq,
-            duals_primals_lb=jax.tree_util.tree_map(
-                add(ad), state.duals_primals_lb, deltas.duals_primals_lb
-            ),
-            duals_primals_ub=jax.tree_util.tree_map(
-                add(ad), state.duals_primals_ub, deltas.duals_primals_ub
-            ),
-            duals_slacks_lb=state.duals_slacks_lb + ad * deltas.duals_slacks_lb,
-            duals_slacks_ub=state.duals_slacks_ub + ad * deltas.duals_slacks_ub,
-        )
+    def get_duals_forward(self):
+        return self._current_state.duals_eq["link"][:, self.ns :] * self.fwd_mask

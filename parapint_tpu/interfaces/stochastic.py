@@ -1,13 +1,156 @@
-"""Two-stage stochastic Schur-complement interface. Placeholder — implemented next."""
+"""Two-stage stochastic Schur-complement interior-point interface.
+
+TPU-native counterpart of the reference's
+``StochasticSchurComplementInteriorPointInterface`` / ``MPIStochastic...``
+(/root/reference/parapint/interfaces/schur_complement/sc_ip_interface.py:1028-1849,
+mpi_sc_ip_interface.py:273-498): each scenario is one block; the coupling
+variables c are the global first-stage variables; nonanticipativity is
+enforced by the linear linking rows
+
+    x_i[first_stage_idx[j]] - c[j] = 0      for every scenario i
+
+whose dual rows live in the scenario's diagonal KKT block, so the Schur
+complement has dimension n_first_stage (as in the reference).
+
+The scenarios form one uniform batched model family (shared functions, a
+per-scenario parameter pytree carrying yields/probabilities/...), evaluated
+with one vmapped computation instead of per-scenario Pyomo NLPs.
+"""
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parapint_tpu.interfaces.blocked import BatchedNLPFunctions, selector_rows
+from parapint_tpu.interfaces.structured import StructuredSCInterface
 
 
-class StochasticModelSpec:  # pragma: no cover - placeholder
-    def __init__(self, *a, **k):
-        raise NotImplementedError("StochasticModelSpec lands in the next milestone")
+@dataclasses.dataclass
+class StochasticModelSpec:
+    """Uniform batched model family for a two-stage stochastic program.
+
+    The user-facing replacement for implementing ``build_model_for_scenario``
+    (reference sc_ip_interface.py:1122-1143).
+
+    Parameters
+    ----------
+    num_scenarios: N
+    objective: (x, p) -> scalar per-scenario objective.  As in the reference
+        farmer example (stochastic.py:73), the scenario probability should be
+        folded into the objective (via params).
+    eq_constraints / ineq_constraints: (x, p) -> residuals (maskable)
+    params: pytree with leading dimension N (scenario data)
+    x0: (N, n) initial primals
+    first_stage_idx: (L,) int, scenario-local indices of the first-stage
+        variables — in the same order for every scenario (the reference's
+        ``nonanticipative_var_identifiers`` ordering contract,
+        sc_ip_interface.py:1043-1046)
+    """
+
+    num_scenarios: int
+    objective: Callable
+    params: object
+    x0: object
+    first_stage_idx: object
+    eq_constraints: Optional[Callable] = None
+    ineq_constraints: Optional[Callable] = None
+    xl: Optional[object] = None
+    xu: Optional[object] = None
+    gl: Optional[object] = None
+    gu: Optional[object] = None
+    eq_mask: Optional[object] = None
+    ineq_mask: Optional[object] = None
+    x_mask: Optional[object] = None
+
+    def __post_init__(self):
+        N = self.num_scenarios
+        self.x0 = jnp.asarray(self.x0, dtype=jnp.float64)
+        if self.x0.ndim != 2 or self.x0.shape[0] != N:
+            raise ValueError(f"x0 must be (num_scenarios, n), got {self.x0.shape}")
+        n = self.x0.shape[1]
+        p0 = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[0], self.params)
+        if self.eq_constraints is not None:
+            me = int(jax.eval_shape(self.eq_constraints, self.x0[0], p0).shape[0])
+        else:
+            me = 0
+        if self.ineq_constraints is not None:
+            mi = int(jax.eval_shape(self.ineq_constraints, self.x0[0], p0).shape[0])
+        else:
+            mi = 0
+        self.n_x, self.n_eq, self.n_ineq = n, me, mi
+
+        def _default(arr, shape, fill):
+            if arr is None:
+                return np.full(shape, fill)
+            a = np.asarray(arr, dtype=np.float64)
+            return np.broadcast_to(a, shape).copy()
+
+        self.xl = _default(self.xl, (N, n), -np.inf)
+        self.xu = _default(self.xu, (N, n), np.inf)
+        self.gl = _default(self.gl, (N, mi), -np.inf)
+        self.gu = _default(self.gu, (N, mi), np.inf)
+
+        def _mask(m, shape):
+            if m is None:
+                return np.ones(shape, dtype=bool)
+            return np.broadcast_to(np.asarray(m, dtype=bool), shape).copy()
+
+        self.eq_mask = _mask(self.eq_mask, (N, me))
+        self.ineq_mask = _mask(self.ineq_mask, (N, mi))
+        self.x_mask = _mask(self.x_mask, (N, n))
+
+        self.first_stage_idx = np.asarray(self.first_stage_idx, dtype=np.int64)
+        self.n_first_stage = int(self.first_stage_idx.shape[0])
+
+        self.xl[~self.x_mask] = -np.inf
+        self.xu[~self.x_mask] = np.inf
+        self.gl[~self.ineq_mask] = -np.inf
+        self.gu[~self.ineq_mask] = np.inf
 
 
-class StochasticSchurComplementInteriorPointInterface:  # pragma: no cover
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            "StochasticSchurComplementInteriorPointInterface lands in the next milestone"
+class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
+    """Interface for two-stage stochastic programs (see module docstring)."""
+
+    def __init__(
+        self, spec: StochasticModelSpec, mesh=None, axis_name: str = "blocks"
+    ):
+        self.spec = spec
+        N = spec.num_scenarios
+        n, me, mi = spec.n_x, spec.n_eq, spec.n_ineq
+        L = spec.n_first_stage
+        self.N, self.n, self.me, self.mi = N, n, me, mi
+        self.ncv = L
+        self.n_link = L
+
+        self.fns = BatchedNLPFunctions(
+            spec.objective, spec.eq_constraints, spec.ineq_constraints, n, me, mi
         )
+        self.params = jax.tree_util.tree_map(jnp.asarray, spec.params)
+        self.eq_mask = jnp.asarray(spec.eq_mask)
+        self.ineq_mask = jnp.asarray(spec.ineq_mask)
+        self.x_mask = jnp.asarray(spec.x_mask)
+        self._xl, self._xu = spec.xl, spec.xu
+        self._gl, self._gu = spec.gl, spec.gu
+        self.x0 = spec.x0
+
+        ones = np.ones((N, L))
+        self.link_rows = jnp.asarray(selector_rows(spec.first_stage_idx, ones, n))
+        self.link_mask = jnp.asarray(ones)
+        # every scenario's link row j targets coupling var j
+        self.row_idx = jnp.asarray(
+            np.broadcast_to(np.arange(L, dtype=np.int32), (N, L)).copy()
+        )
+
+        self._finalize(mesh=mesh, axis_name=axis_name)
+
+    # -- stochastic-specific accessors --------------------------------------
+
+    def get_first_stage_values(self):
+        """Consensus first-stage variable values (the coupling variables)."""
+        return self._current_state.primals["coupling"]
+
+    def get_duals_nonanticipativity(self):
+        return self._current_state.duals_eq["link"]

@@ -39,11 +39,12 @@ class DenseLDLSolver(LinearSolver):
     ----------
     block_size: panel width for the blocked factorization (128 = TPU lane
         width; use smaller for tiny systems).
-    zero_tol: relative pivot threshold below which a pivot counts as zero
+    zero_tol: pivot threshold below which a pivot counts as zero (default
+        0.0 = exact zeros only; see ops.ldl.ldl_inertia)
         (drives both the inertia's ``num_zero`` and the ``singular`` status).
     """
 
-    def __init__(self, block_size: int = 128, zero_tol: float = 1e-12):
+    def __init__(self, block_size: int = 128, zero_tol: float = 0.0):
         self.block_size = block_size
         self.zero_tol = zero_tol
         self._n: Optional[int] = None

@@ -219,7 +219,7 @@ class SchurComplementSolver(LinearSolver):
         self,
         schur_complement_solver: Optional[LinearSolver] = None,
         block_size: int = 128,
-        zero_tol: float = 1e-12,
+        zero_tol: float = 0.0,
     ):
         self.sc_solver = (
             schur_complement_solver

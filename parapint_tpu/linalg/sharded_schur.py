@@ -64,7 +64,7 @@ class ShardedSchurComplementSolver(LinearSolver):
         axis_name: str = "blocks",
         schur_complement_solver: Optional[LinearSolver] = None,
         block_size: int = 128,
-        zero_tol: float = 1e-12,
+        zero_tol: float = 0.0,
     ):
         self.mesh = mesh
         self.axis_name = axis_name

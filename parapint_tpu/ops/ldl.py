@@ -157,17 +157,21 @@ def ldl_solve(LD: jax.Array, b: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def ldl_inertia(d: jax.Array, n: int | None = None, zero_tol: float = 1e-12):
+def ldl_inertia(d: jax.Array, n: int | None = None, zero_tol: float = 0.0):
     """Inertia (num_pos, num_neg, num_zero) from the pivots ``d``.
 
     ``n``: number of *logical* pivots (excludes the kernel's internal
     padding, whose pivots are exactly +1 at indices >= n).
 
-    A pivot is "zero" when |d_i| <= zero_tol * max_i |d_i| (relative test,
-    mirroring the spirit of the reference ScipyInterface's eigenvalue
-    thresholds, /root/reference/parapint/linalg/scipy_interface.py:40-45).
-    NaN pivots count in none of the three buckets, so
-    pos + neg + zero < n signals a failed factorization.
+    A pivot is "zero" when |d_i| <= zero_tol * max(1, max_i |d_i|).  The
+    default zero_tol=0.0 flags only *exact* zeros — interior-point KKT
+    matrices legitimately carry pivots spanning ~15 orders of magnitude (the
+    barrier terms), so any relative test misclassifies genuine tiny pivots.
+    This matches MA27's behavior of reporting exact rank deficiency
+    (/root/reference/parapint/linalg/ma27_interface.py:197-203 trusts
+    info(15) and assumes zero zero-eigenvalues on success).
+    NaN/Inf pivots count in none of the three buckets, so
+    pos + neg + zero < n signals a failed (broken-down) factorization.
     """
     npad = d.shape[0]
     if n is None:
