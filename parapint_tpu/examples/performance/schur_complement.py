@@ -1,0 +1,257 @@
+"""Schur-complement performance harness.
+
+TPU transcription of the reference's synthetic structured-least-squares
+benchmark (/root/reference/parapint/examples/performance/schur_complement/):
+each block b solves  min ||y - y_hat_b||^2  s.t.  y = A q,  P q = theta
+with the first n_theta entries of q shared across blocks through coupling
+variables theta.  The per-block KKT (create_model.py:23-47) is
+
+    [2I   0    I    0  ] [y  ]   [2 y_hat]
+    [0    0   -A^T  P^T] [q  ] = [0      ]
+    [I   -A    0    0  ] [nu ]   [0      ]
+    [0    P    0    0  ] [lam]   [0      ]
+
+with border rows -P_d^T linking lam to the global theta block.  Correctness
+is recovery of the planted q/theta (create_model.py:60-64).
+
+Methods (main.py:84-102): fs = full-space dense factorization,
+ssc = serial (batched) Schur complement, psc = sharded Schur complement.
+
+Sizes here default much smaller than the reference's
+(n_q_per_block=5000, n_y_multiplier=120) because the per-block solve is a
+*dense* batched factorization rather than sparse MA27; the structure and
+measured phases (symbolic / numeric / back-solve) are identical.
+"""
+
+import dataclasses
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import parapint_tpu as pt
+from parapint_tpu.linalg.schur import BlockRhs, LocalBlockKKT
+
+
+def _banded(n, nnz_per_row, rng):
+    """Random banded matrix (utils.py:24-31): sum of +-k diagonals, k <
+    (nnz_per_row+1)/2, with N(0, 5) data."""
+    assert nnz_per_row % 2 == 1
+    m = np.eye(n)
+    for k in range(1, (nnz_per_row - 1) // 2 + 1):
+        m += np.eye(n, k=k) + np.eye(n, k=-k)
+    m *= rng.normal(loc=0.0, scale=5.0, size=(n, n)) * (m != 0)
+    return m
+
+
+@dataclasses.dataclass
+class SyntheticModel:
+    """The synthetic block-structured KKT system."""
+
+    n_blocks: int
+    n_q_per_block: int = 256
+    n_y_multiplier: int = 2
+    n_theta: int = 10
+    A_nnz_per_row: int = 3
+
+    def __post_init__(self):
+        rng = np.random.default_rng(0)
+        nq = self.n_q_per_block
+        ny = nq * self.n_y_multiplier
+        nt = self.n_theta
+        self.n_y_per_block = ny
+        self.A = np.concatenate(
+            [_banded(nq, self.A_nnz_per_row, rng) for _ in range(self.n_y_multiplier)],
+            axis=0,
+        )  # (ny, nq)
+        self.theta = rng.normal(loc=5.0, scale=2.0, size=nt)
+        self.q_true = np.zeros((self.n_blocks, nq))
+        self.y_hat = np.zeros((self.n_blocks, ny))
+        for b in range(self.n_blocks):
+            q = rng.normal(loc=5.0, scale=2.0, size=nq)
+            q[:nt] = self.theta
+            y = self.A @ q
+            y += rng.normal(0.0, 0.01 * np.abs(y).max(), size=ny)
+            self.q_true[b] = q
+            self.y_hat[b] = y
+        # per-block layout [y, q, nu, lam]
+        self.nk = ny + nq + ny + nt
+        self.off_q = ny
+        self.off_nu = ny + nq
+        self.off_lam = ny + nq + ny
+
+    def build_block_diag(self) -> np.ndarray:
+        ny, nq, nt, nk = self.n_y_per_block, self.n_q_per_block, self.n_theta, self.nk
+        K = np.zeros((nk, nk))
+        K[:ny, :ny] = 2.0 * np.eye(ny)
+        K[:ny, self.off_nu : self.off_nu + ny] = np.eye(ny)
+        K[self.off_nu : self.off_nu + ny, :ny] = np.eye(ny)
+        K[self.off_q : self.off_q + nq, self.off_nu : self.off_nu + ny] = -self.A.T
+        K[self.off_nu : self.off_nu + ny, self.off_q : self.off_q + nq] = -self.A
+        P = np.zeros((nt, nq))
+        P[:, :nt] = np.eye(nt)
+        K[self.off_q : self.off_q + nq, self.off_lam :] = P.T
+        K[self.off_lam :, self.off_q : self.off_q + nq] = P
+        return np.broadcast_to(K, (self.n_blocks, nk, nk)).copy()
+
+    def build_kkt(self) -> LocalBlockKKT:
+        nt = self.n_theta
+        border_loc = np.zeros((self.n_blocks, nt, self.nk))
+        for j in range(nt):
+            border_loc[:, j, self.off_lam + j] = -1.0
+        row_idx = np.broadcast_to(
+            np.arange(nt, dtype=np.int32), (self.n_blocks, nt)
+        ).copy()
+        return LocalBlockKKT.make(
+            diag=jnp.asarray(self.build_block_diag()),
+            border_loc=jnp.asarray(border_loc),
+            row_idx=row_idx,
+            q=jnp.zeros((nt, nt)),
+        )
+
+    def build_rhs(self) -> BlockRhs:
+        rhs = np.zeros((self.n_blocks, self.nk))
+        rhs[:, : self.n_y_per_block] = 2.0 * self.y_hat
+        return BlockRhs(
+            blocks=jnp.asarray(rhs), coupling=jnp.zeros(self.n_theta)
+        )
+
+    def build_dense(self):
+        """Monolithic dense KKT for the full-space method."""
+        N, nk, nt = self.n_blocks, self.nk, self.n_theta
+        dim = N * nk + nt
+        M = np.zeros((dim, dim))
+        diag = self.build_block_diag()
+        for b in range(N):
+            M[b * nk : (b + 1) * nk, b * nk : (b + 1) * nk] = diag[b]
+            for j in range(nt):
+                M[N * nk + j, b * nk + self.off_lam + j] = -1.0
+                M[b * nk + self.off_lam + j, N * nk + j] = -1.0
+        rhs = np.zeros(dim)
+        rhs[: N * nk] = np.asarray(self.build_rhs().blocks).reshape(-1)
+        return jnp.asarray(M), jnp.asarray(rhs)
+
+    def check_result(self, sol_blocks) -> float:
+        """max |q_estimate - q_true| over all blocks (create_model.py:60-64)."""
+        q_est = np.asarray(sol_blocks)[:, self.off_q : self.off_q + self.n_q_per_block]
+        return float(np.abs(q_est - self.q_true).max())
+
+
+@dataclasses.dataclass
+class Result:
+    max_err: float = 0.0
+    symbolic_time: float = 0.0
+    numeric_time: float = 0.0
+    back_solve_time: float = 0.0
+    total_time: float = 0.0
+
+
+def run(
+    method: str = "ssc",
+    n_blocks: int = 4,
+    n_q_per_block: int = 256,
+    n_y_multiplier: int = 2,
+    n_theta: int = 10,
+    A_nnz_per_row: int = 3,
+    mesh=None,
+    block_size: int = 128,
+    verbose: bool = True,
+) -> Result:
+    m = SyntheticModel(
+        n_blocks=n_blocks,
+        n_q_per_block=n_q_per_block,
+        n_y_multiplier=n_y_multiplier,
+        n_theta=n_theta,
+        A_nnz_per_row=A_nnz_per_row,
+    )
+    res = Result()
+
+    if method == "fs":
+        solver = pt.DenseLDLSolver(block_size=block_size)
+        kkt, rhs = m.build_dense()
+        t0 = time.time()
+        solver.symbolic(kkt)
+        t1 = time.time()
+        fact = solver.numeric(kkt)
+        jax.block_until_ready(fact)
+        t2 = time.time()
+        x = solver.solve(fact, rhs)
+        jax.block_until_ready(x)
+        t3 = time.time()
+        sol_blocks = np.asarray(x)[: n_blocks * m.nk].reshape(n_blocks, m.nk)
+    else:
+        if method == "ssc":
+            solver = pt.SchurComplementSolver(block_size=block_size)
+        elif method == "psc":
+            if mesh is None:
+                from jax.sharding import Mesh
+
+                # largest device count that divides the block count
+                ndev = len(jax.devices())
+                while n_blocks % ndev != 0:
+                    ndev -= 1
+                mesh = Mesh(np.array(jax.devices()[:ndev]), ("blocks",))
+            solver = pt.ShardedSchurComplementSolver(mesh, "blocks", block_size=block_size)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        kkt = m.build_kkt()
+        rhs = m.build_rhs()
+        t0 = time.time()
+        solver.symbolic(kkt)
+        t1 = time.time()
+        fact = solver.numeric(kkt)
+        jax.block_until_ready(fact)
+        t2 = time.time()
+        x = solver.solve(fact, rhs)
+        jax.block_until_ready(x)
+        t3 = time.time()
+        sol_blocks = x.blocks
+
+    res.max_err = m.check_result(sol_blocks)
+    res.symbolic_time = t1 - t0
+    res.numeric_time = t2 - t1
+    res.back_solve_time = t3 - t2
+    res.total_time = t3 - t0
+
+    if verbose:
+        method_map = {
+            "fs": "Full Space",
+            "ssc": "Serial Schur-Complement",
+            "psc": "Parallel Schur-Complement",
+        }
+        print(
+            f"{'method':<30}{'# devices':<12}{'# blocks':<12}{'n_q_per_block':<15}"
+            f"{'n_y_multiplier':<15}{'n_theta':<10}{'A NNZ per row':<15}"
+            f"{'Est Err':<12}{'Symb Fact (s)':<15}{'Num Fact (s)':<15}"
+            f"{'Back Solve (s)':<15}{'Total Time (s)':<15}"
+        )
+        print(
+            f"{method_map[method]:<30}{len(jax.devices()):<12}{n_blocks:<12}"
+            f"{n_q_per_block:<15}{n_y_multiplier:<15}{n_theta:<10}"
+            f"{A_nnz_per_row:<15}{res.max_err:<12.3f}{res.symbolic_time:<15.3f}"
+            f"{res.numeric_time:<15.3f}{res.back_solve_time:<15.3f}"
+            f"{res.total_time:<15.3f}"
+        )
+    return res
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--method", type=str, required=True, choices={"fs", "ssc", "psc"})
+    parser.add_argument("--n_blocks", type=int, required=True)
+    parser.add_argument("--n_q_per_block", type=int, default=256)
+    parser.add_argument("--n_y_multiplier", type=int, default=2)
+    args = parser.parse_args()
+    run(
+        method=args.method,
+        n_blocks=args.n_blocks,
+        n_q_per_block=args.n_q_per_block,
+        n_y_multiplier=args.n_y_multiplier,
+    )
+
+
+if __name__ == "__main__":
+    main()
