@@ -53,7 +53,12 @@ from parapint_tpu.interfaces import (
     DynamicModelSpec,
     StochasticModelSpec,
 )
-from parapint_tpu.algorithms import ip_solve, InteriorPointStatus
+from parapint_tpu.algorithms import (
+    ip_solve,
+    ip_solve_fused,
+    make_fused_ip_solve,
+    InteriorPointStatus,
+)
 
 __version__ = "0.1.0"
 
@@ -76,5 +81,7 @@ __all__ = [
     "DynamicModelSpec",
     "StochasticModelSpec",
     "ip_solve",
+    "ip_solve_fused",
+    "make_fused_ip_solve",
     "InteriorPointStatus",
 ]

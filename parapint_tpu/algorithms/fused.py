@@ -1,0 +1,200 @@
+"""Fully device-side interior-point solve.
+
+Same algorithm as :func:`parapint_tpu.algorithms.ip_solve` (reference
+semantics, /root/reference/parapint/algorithms/interior_point.py:405-631)
+but with the ENTIRE solve — outer iteration loop, barrier update,
+inertia-correction retry loop, convergence tests — expressed as
+``lax.while_loop``s so the whole solve is one XLA computation: one dispatch,
+one result readback.  This is the production path on TPU, where each
+host<->device round trip costs ~tens of milliseconds; the Python-loop
+``ip_solve`` remains the debuggable/loggable variant with identical
+numerics.
+
+Differences from the Python loop (both documented, both benign):
+- No per-iteration log table (use ``ip_solve`` when you want the trace).
+- Failure to correct inertia or factorize sets status=error and stops the
+  loop instead of raising.
+"""
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from parapint_tpu.algorithms.interior_point import InteriorPointStatus
+from parapint_tpu.linalg.results import LinearSolverStatus
+from parapint_tpu.options import IPOptions
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FusedResult:
+    state: object  # final IPState
+    status: jax.Array  # int32: 0 optimal, 1 error/max_iter
+    iterations: jax.Array  # int32
+    barrier: jax.Array
+    primal_inf: jax.Array
+    dual_inf: jax.Array
+    compl_inf: jax.Array
+
+
+def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
+    """Build a jitted function ``solve(state0) -> FusedResult``.
+
+    ``options.linalg.solver`` must be set; options are baked in as static
+    configuration (rebuild for different options).
+    """
+    if options is None:
+        options = IPOptions()
+    options.validate()
+    solver = options.linalg.solver
+    if solver is None:
+        raise ValueError("options.linalg.solver must be set")
+    if not options.line_search.disable:
+        raise NotImplementedError("fused path supports line_search.disable only")
+
+    tol = options.tol
+    mu_min = options.minimum_barrier_parameter
+    mu_decrease_gate = options.barrier_decrease
+    ic = options.inertia_correction
+    expected_neg = interface.expected_neg_eig
+    error_scaling = options.error_scaling
+    use_ic = options.use_inertia_correction
+
+    SUCCESS = jnp.int32(LinearSolverStatus.successful)
+
+    def factor_with_inertia_correction(data, inertia_coef):
+        """Returns (fact, ok, used_coef).  Reference :337-402."""
+        kkt = interface.assemble_kkt(data, 0.0, 0.0)
+        fact = solver.numeric(kkt)
+
+        def is_ok(fact):
+            pos, neg, zero = solver.inertia(fact)
+            status_ok = solver.status(fact) == SUCCESS
+            if not use_ic:
+                return status_ok
+            return jnp.logical_and(
+                status_ok,
+                jnp.logical_and(neg == expected_neg, zero == 0),
+            )
+
+        if not use_ic:
+            return fact, is_ok(fact), jnp.asarray(0.0)
+
+        def cond(carry):
+            fact, ok, w_cum, coef, used = carry
+            return jnp.logical_and(jnp.logical_not(ok), used <= ic.max_coef)
+
+        def body(carry):
+            fact, ok, w_cum, coef, used = carry
+            # hessian reg accumulates, constraint reg is set
+            # (reference :385-386 + interface.py:590-619)
+            w_cum = w_cum + coef
+            kkt = interface.assemble_kkt(data, w_cum, coef)
+            fact = solver.numeric(kkt)
+            return fact, is_ok(fact), w_cum, coef * ic.factor_increase, coef
+
+        fact, ok, _, _, used = lax.while_loop(
+            cond,
+            body,
+            (fact, is_ok(fact), jnp.asarray(0.0), jnp.asarray(inertia_coef), jnp.asarray(0.0)),
+        )
+        return fact, ok, used
+
+    def one_iteration(carry):
+        state, mu, inertia_coef, it, done, status, diags = carry
+        info = interface.convergence_info(state, mu, error_scaling)
+        err0 = jnp.maximum(
+            info.primal_inf, jnp.maximum(info.dual_inf, info.compl_inf_0)
+        )
+        converged = err0 <= tol
+        diags = (info.primal_inf, info.dual_inf, info.compl_inf_0)
+
+        err_mu = jnp.maximum(
+            info.primal_inf, jnp.maximum(info.dual_inf, info.compl_inf_mu)
+        )
+        mu_next = jnp.where(
+            err_mu <= mu_decrease_gate * mu,
+            jnp.maximum(mu_min, jnp.minimum(0.5 * mu, mu**1.5)),
+            mu,
+        )
+
+        def do_step(args):
+            state, mu = args
+            data = interface.eval_kkt_data(state, mu)
+            fact, ok, used = factor_with_inertia_correction(data, inertia_coef)
+            sol = solver.solve(fact, interface.kkt_rhs(data))
+            deltas = interface.extract_deltas(state, sol, mu)
+            a_p, a_d = interface.fraction_to_the_boundary(state, deltas, 1.0 - mu)
+            if options.unified_step:
+                a = jnp.minimum(a_p, a_d)
+                a_p = a
+                a_d = a
+            new_state = interface.apply_step(state, deltas, a_p, a_d)
+            next_coef = jnp.maximum(
+                jnp.asarray(ic.init_coef), used * ic.factor_decrease
+            )
+            return new_state, next_coef, jnp.logical_not(ok)
+
+        def no_step(args):
+            state, mu = args
+            return state, jnp.asarray(inertia_coef) * 1.0, jnp.asarray(False)
+
+        new_state, next_coef, failed = lax.cond(
+            converged, no_step, do_step, (state, mu_next)
+        )
+        done = jnp.logical_or(converged, failed)
+        status = jnp.where(
+            converged,
+            jnp.int32(InteriorPointStatus.optimal.value),
+            jnp.where(failed, jnp.int32(InteriorPointStatus.error.value), status),
+        )
+        return new_state, mu_next, next_coef, it + 1, done, status, diags
+
+    def cond(carry):
+        state, mu, inertia_coef, it, done, status, diags = carry
+        return jnp.logical_and(jnp.logical_not(done), it < options.max_iter)
+
+    def solve(state0) -> FusedResult:
+        zero = jnp.asarray(0.0)
+        carry0 = (
+            state0,
+            jnp.asarray(options.init_barrier_parameter),
+            jnp.asarray(ic.init_coef),
+            jnp.int32(0),
+            jnp.asarray(False),
+            jnp.int32(InteriorPointStatus.error.value),
+            (zero, zero, zero),
+        )
+        state, mu, _, it, done, status, diags = lax.while_loop(
+            cond, one_iteration, carry0
+        )
+        return FusedResult(
+            state=state,
+            status=status,
+            iterations=it,
+            barrier=mu,
+            primal_inf=diags[0],
+            dual_inf=diags[1],
+            compl_inf=diags[2],
+        )
+
+    return jax.jit(solve)
+
+
+def ip_solve_fused(interface, options: Optional[IPOptions] = None):
+    """One-call fused solve.  Sets the bounds relaxation factor (host-side),
+    builds the fused function, runs it, stores the final state on the
+    interface, and returns (InteriorPointStatus, FusedResult)."""
+    if options is None:
+        options = IPOptions()
+    interface.set_bounds_relaxation_factor(options.bounds_relaxation_factor)
+    solve = make_fused_ip_solve(interface, options)
+    state0 = interface.init_state()
+    result = solve(state0)
+    interface._current_state = result.state
+    status = InteriorPointStatus(int(result.status))
+    return status, result
