@@ -17,6 +17,7 @@ from parapint_tpu.linalg.schur import (
     BlockRhs,
 )
 from parapint_tpu.linalg.sharded_schur import ShardedSchurComplementSolver
+from parapint_tpu.linalg.host_bk import HostBKSolver
 
 __all__ = [
     "LinearSolverStatus",
@@ -29,4 +30,5 @@ __all__ = [
     "BlockKKT",
     "LocalBlockKKT",
     "BlockRhs",
+    "HostBKSolver",
 ]
