@@ -20,13 +20,15 @@ import jax.numpy as jnp
 
 from parapint_tpu.linalg.base import LinearSolver
 from parapint_tpu.linalg.results import LinearSolverResults, LinearSolverStatus
-from parapint_tpu.ops.ldl import ldl_factor, ldl_solve, ldl_inertia
+from parapint_tpu.ops.ldl import ldl_factor, ldl_inverse, ldl_solve, ldl_inertia
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseLDLFactor:
-    LD: jax.Array  # packed factor, (npad, npad)
+    LD: object  # packed factor (npad, npad); None in explicit-inverse mode
+    kinv: object  # explicit K^{-1} (n, n); None in packed mode
+    kkt: object  # original K, kept for iterative refinement (else None)
     inertia: jax.Array  # (3,) int32: pos, neg, zero
     status: jax.Array  # () int32 LinearSolverStatus
     n: int = dataclasses.field(metadata=dict(static=True))  # logical dim
@@ -42,11 +44,26 @@ class DenseLDLSolver(LinearSolver):
     zero_tol: pivot threshold below which a pivot counts as zero (default
         0.0 = exact zeros only; see ops.ldl.ldl_inertia)
         (drives both the inertia's ``num_zero`` and the ``singular`` status).
+    explicit_inverse: store K^{-1} (built with MXU-only matmuls,
+        ops.ldl.ldl_inverse) instead of the packed factor, turning back
+        solves into single matmuls — the fast path on TPU, where XLA's
+        triangular_solve is latency-bound.
+    refine_steps: iterative-refinement passes per solve in explicit-inverse
+        mode (residuals against the original K recover direct-solve
+        accuracy; default 1).
     """
 
-    def __init__(self, block_size: int = 128, zero_tol: float = 0.0):
+    def __init__(
+        self,
+        block_size: int = 128,
+        zero_tol: float = 0.0,
+        explicit_inverse: bool = False,
+        refine_steps: int = 1,
+    ):
         self.block_size = block_size
         self.zero_tol = zero_tol
+        self.explicit_inverse = explicit_inverse
+        self.refine_steps = refine_steps
         self._n: Optional[int] = None
 
     def symbolic(self, kkt: jax.Array) -> LinearSolverResults:
@@ -68,12 +85,29 @@ class DenseLDLSolver(LinearSolver):
             jnp.int32(LinearSolverStatus.successful),
             jnp.int32(LinearSolverStatus.singular),
         )
+        inertia = jnp.stack([pos, neg, zero])
+        if self.explicit_inverse:
+            kinv = ldl_inverse(LD, jnp.diagonal(LD))[:n, :n]
+            return DenseLDLFactor(
+                LD=None,
+                kinv=kinv,
+                kkt=kkt if self.refine_steps > 0 else None,
+                inertia=inertia,
+                status=status,
+                n=n,
+            )
         return DenseLDLFactor(
-            LD=LD, inertia=jnp.stack([pos, neg, zero]), status=status, n=n
+            LD=LD, kinv=None, kkt=None, inertia=inertia, status=status, n=n
         )
 
     def solve(self, fact: DenseLDLFactor, rhs: jax.Array) -> jax.Array:
-        return ldl_solve(fact.LD, rhs)
+        if fact.kinv is None:
+            return ldl_solve(fact.LD, rhs)
+        x = jnp.matmul(fact.kinv, rhs, preferred_element_type=rhs.dtype)
+        for _ in range(self.refine_steps):
+            r = rhs - jnp.matmul(fact.kkt, x, preferred_element_type=rhs.dtype)
+            x = x + jnp.matmul(fact.kinv, r, preferred_element_type=rhs.dtype)
+        return x
 
     def inertia(self, fact: DenseLDLFactor):
         return fact.inertia[0], fact.inertia[1], fact.inertia[2]

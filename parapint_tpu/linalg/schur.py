@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from parapint_tpu.linalg.base import LinearSolver
 from parapint_tpu.linalg.dense import DenseLDLSolver
 from parapint_tpu.linalg.results import LinearSolverResults, LinearSolverStatus
-from parapint_tpu.ops.ldl import ldl_factor, ldl_inertia, ldl_solve
+from parapint_tpu.ops.ldl import ldl_factor, ldl_inertia, ldl_inverse, ldl_solve
 
 
 @jax.tree_util.register_dataclass
@@ -123,7 +123,10 @@ class BlockRhs:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SchurFactor:
-    block_LD: jax.Array  # (N, npad, npad) packed per-block LDL factors
+    block_LD: object  # (N, npad, npad) packed per-block LDL factors (or None)
+    block_kinv: object  # (N, nk, nk) explicit block inverses (or None)
+    diag: object  # original diagonal blocks, kept for refinement (or None)
+    q: object  # original coupling block, kept for refinement (or None)
     border: object  # (N, nc, nk) for the dense-border path, else None
     border_loc: object  # (N, L, nk) for the local-border path, else None
     row_idx: object  # (N, L) int32 for the local-border path, else None
@@ -155,6 +158,16 @@ def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: 
     return LD, inertia, status
 
 
+def _factor_blocks_inv(diag, mask, block_size: int, zero_tol: float):
+    """Like :func:`_factor_blocks` but also returns explicit block inverses
+    K_i^{-1} (ops.ldl.ldl_inverse) so every downstream application of
+    K_i^{-1} is a plain batched matmul."""
+    nk = diag.shape[-1]
+    LD, inertia, status = _factor_blocks(diag, mask, block_size, zero_tol)
+    kinv = jax.vmap(lambda ld: ldl_inverse(ld, jnp.diagonal(ld))[:nk, :nk])(LD)
+    return kinv, inertia, status
+
+
 def _sc_contribution(LD: jax.Array, border: jax.Array, mask: jax.Array):
     """sum_i A_i K_i^{-1} A_i^T over the (local) batch of blocks."""
     # V_i = K_i^{-1} A_i^T : batched multi-RHS solve, (N, nk, nc)
@@ -173,6 +186,22 @@ def _form_sc(LD: jax.Array, border: jax.Array, q: jax.Array, mask: jax.Array):
 # -- local-border helpers ----------------------------------------------------
 
 
+def _sc_contribution_inv(kinv, border, mask):
+    """Inverse-mode dense-border SC contribution: all matmuls."""
+    V = jnp.einsum(
+        "bij,bcj->bic", kinv, border, preferred_element_type=border.dtype
+    )
+    return jnp.einsum(
+        "bci,bik,b->ck", border, V, mask, preferred_element_type=border.dtype
+    )
+
+
+def _scatter_sc(S_loc, row_idx, nc: int):
+    out = jnp.zeros((nc + 1, nc + 1), dtype=S_loc.dtype)
+    out = out.at[row_idx[:, :, None], row_idx[:, None, :]].add(S_loc)
+    return out[:nc, :nc]
+
+
 def _sc_contribution_local(LD, border_loc, row_idx, nc: int):
     """sum_i P_i (A_i K_i^{-1} A_i^T) P_i^T via batched solve + scatter-add.
 
@@ -183,9 +212,18 @@ def _sc_contribution_local(LD, border_loc, row_idx, nc: int):
     S_loc = jnp.einsum(
         "bli,bik->blk", border_loc, V, preferred_element_type=border_loc.dtype
     )  # (N, L, L)
-    out = jnp.zeros((nc + 1, nc + 1), dtype=border_loc.dtype)
-    out = out.at[row_idx[:, :, None], row_idx[:, None, :]].add(S_loc)
-    return out[:nc, :nc]
+    return _scatter_sc(S_loc, row_idx, nc)
+
+
+def _sc_contribution_local_inv(kinv, border_loc, row_idx, nc: int):
+    """Inverse-mode local-border SC contribution: all matmuls."""
+    V = jnp.einsum(
+        "bij,blj->bil", kinv, border_loc, preferred_element_type=border_loc.dtype
+    )  # (N, nk, L)
+    S_loc = jnp.einsum(
+        "bli,bik->blk", border_loc, V, preferred_element_type=border_loc.dtype
+    )
+    return _scatter_sc(S_loc, row_idx, nc)
 
 
 def _border_apply_local(border_loc, row_idx, v, nc: int):
@@ -207,6 +245,31 @@ def _border_T_apply_local(border_loc, row_idx, y):
     )
 
 
+def _kkt_matvec(fact: "SchurFactor", x: "BlockRhs", psum_axis=None) -> "BlockRhs":
+    """K @ x for the full block-bordered system (used by iterative
+    refinement).  With ``psum_axis`` set, the coupling part is reduced over
+    the mesh axis (shard_map context)."""
+    bx = jnp.einsum(
+        "bij,bj->bi", fact.diag, x.blocks, preferred_element_type=x.blocks.dtype
+    )
+    if fact.border_loc is not None:
+        bx = bx + _border_T_apply_local(fact.border_loc, fact.row_idx, x.coupling)
+        cy = _border_apply_local(fact.border_loc, fact.row_idx, x.blocks, fact.nc)
+    else:
+        bx = bx + jnp.einsum(
+            "bci,c->bi", fact.border, x.coupling,
+            preferred_element_type=x.blocks.dtype,
+        )
+        cy = jnp.einsum(
+            "bci,bi->c", fact.border, x.blocks,
+            preferred_element_type=x.blocks.dtype,
+        )
+    if psum_axis is not None:
+        cy = jax.lax.psum(cy, psum_axis)
+    cy = cy + jnp.matmul(fact.q, x.coupling, preferred_element_type=cy.dtype)
+    return BlockRhs(blocks=bx, coupling=cy)
+
+
 class SchurComplementSolver(LinearSolver):
     """Serial (single-device) Schur-complement solver.
 
@@ -220,14 +283,22 @@ class SchurComplementSolver(LinearSolver):
         schur_complement_solver: Optional[LinearSolver] = None,
         block_size: int = 128,
         zero_tol: float = 0.0,
+        explicit_inverse: bool = False,
+        refine_steps: int = 1,
     ):
         self.sc_solver = (
             schur_complement_solver
             if schur_complement_solver is not None
-            else DenseLDLSolver(block_size=block_size, zero_tol=zero_tol)
+            else DenseLDLSolver(
+                block_size=block_size,
+                zero_tol=zero_tol,
+                explicit_inverse=explicit_inverse,
+            )
         )
         self.block_size = block_size
         self.zero_tol = zero_tol
+        self.explicit_inverse = explicit_inverse
+        self.refine_steps = refine_steps if explicit_inverse else 0
 
     def symbolic(self, kkt) -> LinearSolverResults:
         N, nk, nk2 = kkt.diag.shape
@@ -254,19 +325,39 @@ class SchurComplementSolver(LinearSolver):
         nk = kkt.diag.shape[-1]
         nc = kkt.q.shape[-1]
         local = isinstance(kkt, LocalBlockKKT)
-        LD, blk_inertia, blk_status = _factor_blocks(
-            kkt.diag, kkt.mask, self.block_size, self.zero_tol
-        )
-        if local:
-            sc = kkt.q - _sc_contribution_local(LD, kkt.border_loc, kkt.row_idx, nc)
+        if self.explicit_inverse:
+            kinv, blk_inertia, blk_status = _factor_blocks_inv(
+                kkt.diag, kkt.mask, self.block_size, self.zero_tol
+            )
+            LD = None
+            if local:
+                contrib = _sc_contribution_local_inv(
+                    kinv, kkt.border_loc, kkt.row_idx, nc
+                )
+            else:
+                contrib = _sc_contribution_inv(kinv, kkt.border, kkt.mask)
+            sc = kkt.q - contrib
         else:
-            sc = _form_sc(LD, kkt.border, kkt.q, kkt.mask)
+            kinv = None
+            LD, blk_inertia, blk_status = _factor_blocks(
+                kkt.diag, kkt.mask, self.block_size, self.zero_tol
+            )
+            if local:
+                sc = kkt.q - _sc_contribution_local(
+                    LD, kkt.border_loc, kkt.row_idx, nc
+                )
+            else:
+                sc = _form_sc(LD, kkt.border, kkt.q, kkt.mask)
         sc_fact = self.sc_solver.numeric(sc)
         sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
         inertia = blk_inertia + jnp.stack([sc_pos, sc_neg, sc_zero])
         status = jnp.maximum(blk_status, self.sc_solver.status(sc_fact))
+        keep = self.refine_steps > 0
         return SchurFactor(
             block_LD=LD,
+            block_kinv=kinv,
+            diag=kkt.diag if keep else None,
+            q=kkt.q if keep else None,
             border=None if local else kkt.border,
             border_loc=kkt.border_loc if local else None,
             row_idx=kkt.row_idx if local else None,
@@ -277,12 +368,21 @@ class SchurComplementSolver(LinearSolver):
             nc=nc,
         )
 
-    def solve(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
-        nk = fact.nk
+    def _apply_blocks(self, fact: SchurFactor, b):
+        """K_i^{-1} b_i for every block."""
+        if fact.block_kinv is not None:
+            return jnp.einsum(
+                "bij,bj->bi", fact.block_kinv, b, preferred_element_type=b.dtype
+            )
+        return jax.vmap(lambda ld, bb: ldl_solve(ld, bb))(fact.block_LD, b)[
+            :, : fact.nk
+        ]
+
+    def _solve_once(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
         local = fact.border is None
         # local block solves (reference back solve pass 1,
         # explicit_schur_complement.py:144-148)
-        v = jax.vmap(lambda ld, b: ldl_solve(ld, b))(fact.block_LD, rhs.blocks)
+        v = self._apply_blocks(fact, rhs.blocks)
         if local:
             sc_rhs = rhs.coupling - _border_apply_local(
                 fact.border_loc, fact.row_idx, v, fact.nc
@@ -301,8 +401,21 @@ class SchurComplementSolver(LinearSolver):
             rhs2 = rhs.blocks - jnp.einsum(
                 "bci,c->bi", fact.border, y, preferred_element_type=v.dtype
             )
-        x = jax.vmap(lambda ld, b: ldl_solve(ld, b))(fact.block_LD, rhs2)
-        return BlockRhs(blocks=x[:, :nk], coupling=y)
+        x = self._apply_blocks(fact, rhs2)
+        return BlockRhs(blocks=x, coupling=y)
+
+    def solve(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
+        x = self._solve_once(fact, rhs)
+        for _ in range(self.refine_steps):
+            kx = _kkt_matvec(fact, x)
+            r = BlockRhs(
+                blocks=rhs.blocks - kx.blocks, coupling=rhs.coupling - kx.coupling
+            )
+            dx = self._solve_once(fact, r)
+            x = BlockRhs(
+                blocks=x.blocks + dx.blocks, coupling=x.coupling + dx.coupling
+            )
+        return x
 
     def inertia(self, fact: SchurFactor):
         return fact.inertia[0], fact.inertia[1], fact.inertia[2]

@@ -42,8 +42,12 @@ from parapint_tpu.linalg.schur import (
     _border_apply_local,
     _border_T_apply_local,
     _factor_blocks,
+    _factor_blocks_inv,
+    _kkt_matvec,
     _sc_contribution,
+    _sc_contribution_inv,
     _sc_contribution_local,
+    _sc_contribution_local_inv,
 )
 from parapint_tpu.ops.ldl import ldl_solve
 
@@ -65,16 +69,24 @@ class ShardedSchurComplementSolver(LinearSolver):
         schur_complement_solver: Optional[LinearSolver] = None,
         block_size: int = 128,
         zero_tol: float = 0.0,
+        explicit_inverse: bool = False,
+        refine_steps: int = 1,
     ):
         self.mesh = mesh
         self.axis_name = axis_name
         self.sc_solver = (
             schur_complement_solver
             if schur_complement_solver is not None
-            else DenseLDLSolver(block_size=block_size, zero_tol=zero_tol)
+            else DenseLDLSolver(
+                block_size=block_size,
+                zero_tol=zero_tol,
+                explicit_inverse=explicit_inverse,
+            )
         )
         self.block_size = block_size
         self.zero_tol = zero_tol
+        self.explicit_inverse = explicit_inverse
+        self.refine_steps = refine_steps if explicit_inverse else 0
         self.n_shards = mesh.shape[axis_name]
 
     def symbolic(self, kkt) -> LinearSolverResults:
@@ -105,16 +117,25 @@ class ShardedSchurComplementSolver(LinearSolver):
         nc = kkt.q.shape[-1]
 
         def _numeric(diag, border, row_idx, q, mask):
-            # local shard: batched LDL^T of owned blocks
-            LD, blk_inertia, blk_status = _factor_blocks(
-                diag, mask, self.block_size, self.zero_tol
-            )
+            # local shard: batched LDL^T (or explicit inverses) of owned blocks
+            if self.explicit_inverse:
+                fac, blk_inertia, blk_status = _factor_blocks_inv(
+                    diag, mask, self.block_size, self.zero_tol
+                )
+                if local:
+                    contrib = _sc_contribution_local_inv(fac, border, row_idx, nc)
+                else:
+                    contrib = _sc_contribution_inv(fac, border, mask)
+            else:
+                fac, blk_inertia, blk_status = _factor_blocks(
+                    diag, mask, self.block_size, self.zero_tol
+                )
+                if local:
+                    contrib = _sc_contribution_local(fac, border, row_idx, nc)
+                else:
+                    contrib = _sc_contribution(fac, border, mask)
             # S = Q - psum_i A_i K_i^{-1} A_i^T  (ICI all-reduce;
             # reference: comm.Allreduce of SC data, :343)
-            if local:
-                contrib = _sc_contribution_local(LD, border, row_idx, nc)
-            else:
-                contrib = _sc_contribution(LD, border, mask)
             sc = q - jax.lax.psum(contrib, ax)
             blk_inertia = jax.lax.psum(blk_inertia, ax)
             blk_status = jax.lax.pmax(blk_status, ax)
@@ -123,22 +144,26 @@ class ShardedSchurComplementSolver(LinearSolver):
             sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
             inertia = blk_inertia + jnp.stack([sc_pos, sc_neg, sc_zero])
             status = jnp.maximum(blk_status, self.sc_solver.status(sc_fact))
-            return LD, sc_fact, inertia, status
+            return fac, sc_fact, inertia, status
 
         border_arg = kkt.border_loc if local else kkt.border
         row_idx_arg = kkt.row_idx if local else jnp.zeros(
             (kkt.diag.shape[0], 1), dtype=jnp.int32
         )
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), self._sc_fact_struct(kkt))
-        LD, sc_fact, inertia, status = shard_map(
+        fac, sc_fact, inertia, status = shard_map(
             _numeric,
             mesh=self.mesh,
             in_specs=(P(ax), P(ax), P(ax), P(), P(ax)),
             out_specs=(P(ax), sc_fact_specs, P(), P()),
             check_vma=False,
         )(kkt.diag, border_arg, row_idx_arg, kkt.q, kkt.mask)
+        keep = self.refine_steps > 0
         return SchurFactor(
-            block_LD=LD,
+            block_LD=None if self.explicit_inverse else fac,
+            block_kinv=fac if self.explicit_inverse else None,
+            diag=kkt.diag if keep else None,
+            q=kkt.q if keep else None,
             border=None if local else kkt.border,
             border_loc=kkt.border_loc if local else None,
             row_idx=kkt.row_idx if local else None,
@@ -162,9 +187,18 @@ class ShardedSchurComplementSolver(LinearSolver):
         nk = fact.nk
         nc = fact.nc
         local = fact.border is None
+        inv = fact.block_kinv is not None
+        refine = self.refine_steps if fact.diag is not None else 0
 
-        def _solve(LD, border, row_idx, sc_fact, blocks, coupling):
-            v = jax.vmap(lambda ld, b: ldl_solve(ld, b))(LD, blocks)
+        def apply_blocks(fac, b):
+            if inv:
+                return jnp.einsum(
+                    "bij,bj->bi", fac, b, preferred_element_type=b.dtype
+                )
+            return jax.vmap(lambda ld, bb: ldl_solve(ld, bb))(fac, b)[:, :nk]
+
+        def solve_once(fac, border, row_idx, sc_fact, blocks, coupling):
+            v = apply_blocks(fac, blocks)
             # SC rhs reduction (reference: comm.Allreduce(sc_rhs), :387)
             if local:
                 contrib = _border_apply_local(border, row_idx, v, nc)
@@ -181,23 +215,67 @@ class ShardedSchurComplementSolver(LinearSolver):
                 rhs2 = blocks - jnp.einsum(
                     "bci,c->bi", border, y, preferred_element_type=v.dtype
                 )
-            x = jax.vmap(lambda ld, b: ldl_solve(ld, b))(LD, rhs2)
-            return x[:, :nk], y
+            x = apply_blocks(fac, rhs2)
+            return x, y
 
+        def _solve(fac, border, row_idx, sc_fact, diag, q, blocks, coupling):
+            x, y = solve_once(fac, border, row_idx, sc_fact, blocks, coupling)
+            for _ in range(refine):
+                shard_view = SchurFactor(
+                    block_LD=None,
+                    block_kinv=None,
+                    diag=diag,
+                    q=q,
+                    border=None if local else border,
+                    border_loc=border if local else None,
+                    row_idx=row_idx,
+                    sc_fact=None,
+                    inertia=None,
+                    status=None,
+                    nk=nk,
+                    nc=nc,
+                )
+                kx = _kkt_matvec(
+                    shard_view, BlockRhs(blocks=x, coupling=y), psum_axis=ax
+                )
+                dx, dy = solve_once(
+                    fac,
+                    border,
+                    row_idx,
+                    sc_fact,
+                    blocks - kx.blocks,
+                    coupling - kx.coupling,
+                )
+                x = x + dx
+                y = y + dy
+            return x, y
+
+        fac_arg = fact.block_kinv if inv else fact.block_LD
         border_arg = fact.border_loc if local else fact.border
         row_idx_arg = (
             fact.row_idx
             if local
-            else jnp.zeros((fact.block_LD.shape[0], 1), dtype=jnp.int32)
+            else jnp.zeros((fac_arg.shape[0], 1), dtype=jnp.int32)
         )
+        diag_arg = fact.diag if refine else jnp.zeros((fac_arg.shape[0], 1, 1))
+        q_arg = fact.q if refine else jnp.zeros((1, 1))
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), fact.sc_fact)
         x, y = shard_map(
             _solve,
             mesh=self.mesh,
-            in_specs=(P(ax), P(ax), P(ax), sc_fact_specs, P(ax), P()),
+            in_specs=(P(ax), P(ax), P(ax), sc_fact_specs, P(ax), P(), P(ax), P()),
             out_specs=(P(ax), P()),
             check_vma=False,
-        )(fact.block_LD, border_arg, row_idx_arg, fact.sc_fact, rhs.blocks, rhs.coupling)
+        )(
+            fac_arg,
+            border_arg,
+            row_idx_arg,
+            fact.sc_fact,
+            diag_arg,
+            q_arg,
+            rhs.blocks,
+            rhs.coupling,
+        )
         return BlockRhs(blocks=x, coupling=y)
 
     def inertia(self, fact: SchurFactor):

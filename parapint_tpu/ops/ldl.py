@@ -65,6 +65,41 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def unit_lower_inv(L: jax.Array) -> jax.Array:
+    """Inverse of a unit lower-triangular matrix via Neumann doubling.
+
+    L = I - N with N strictly lower (nilpotent, N^n = 0), so
+    L^{-1} = sum_k N^k, accumulated by squaring:
+    S_{k+1} = S_k + M_k S_k, M_{k+1} = M_k^2 with M_0 = N, S_0 = I + N.
+    ceil(log2(n)) doubling steps, each two matmuls — everything on the MXU,
+    no sequential substitution.  This is the TPU-native alternative to
+    XLA's blocked triangular_solve, which is latency-bound on TPU.
+    """
+    n = L.shape[-1]
+    N = -jnp.tril(L, -1)
+    S = jnp.eye(n, dtype=L.dtype) + N
+    M = N
+    steps = max(1, (n - 1).bit_length())
+    for i in range(steps - 1):
+        M = jnp.matmul(M, M, preferred_element_type=L.dtype)
+        S = S + jnp.matmul(M, S, preferred_element_type=L.dtype)
+    return S
+
+
+def ldl_inverse(LD: jax.Array, d: jax.Array) -> jax.Array:
+    """Explicit K^{-1} = L^{-T} D^{-1} L^{-1} from a packed LDL factor.
+
+    Turns every subsequent back solve into a single matmul (MXU) — the
+    production TPU path; combine with one iterative-refinement pass (using
+    the original K) to recover direct-solve accuracy.
+    """
+    W = unit_lower_inv(jnp.tril(LD, -1) + jnp.eye(LD.shape[-1], dtype=LD.dtype))
+    d_safe = jnp.where(jnp.abs(d) > 0, d, 1.0)
+    return jnp.matmul(
+        W.T, W / d_safe[:, None], preferred_element_type=LD.dtype
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def ldl_factor(A: jax.Array, block_size: int = 128):
     """Factor symmetric ``A`` (n, n) as L D L^T (unpivoted, 1x1 pivots).
@@ -106,9 +141,11 @@ def ldl_factor(A: jax.Array, block_size: int = 128):
         # full-height column panel; rows strictly below the diagonal block
         P = lax.dynamic_slice(A, (0, off), (npad, bs))
         below = row_ids >= off + bs  # (npad, 1)
-        # X = P_below @ Lkk^{-T}  (X holds L_panel * D_k)
-        X = lax.linalg.triangular_solve(
-            Lkk, P, left_side=False, lower=True, transpose_a=True
+        # X = P_below @ Lkk^{-T}  (X holds L_panel * D_k).  The panel
+        # triangular solve is done by explicit small-inverse matmul
+        # (unit_lower_inv) — MXU-friendly, unlike XLA's triangular_solve.
+        X = jnp.matmul(
+            P, unit_lower_inv(Lkk).T, preferred_element_type=A.dtype
         )
         X = jnp.where(below, X, 0.0)
         dk_safe = jnp.where(jnp.abs(dk) > 0, dk, 1.0)
