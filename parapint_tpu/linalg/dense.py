@@ -20,14 +20,21 @@ import jax.numpy as jnp
 
 from parapint_tpu.linalg.base import LinearSolver
 from parapint_tpu.linalg.results import LinearSolverResults, LinearSolverStatus
-from parapint_tpu.ops.ldl import ldl_factor, ldl_inverse, ldl_solve, ldl_inertia
+from parapint_tpu.ops.ldl import (
+    ldl_factor,
+    ldl_inertia,
+    ldl_solve,
+    ldl_winv,
+    winv_apply,
+)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseLDLFactor:
     LD: object  # packed factor (npad, npad); None in explicit-inverse mode
-    kinv: object  # explicit K^{-1} (n, n); None in packed mode
+    W: object  # L^{-1} (npad, npad) in explicit-inverse mode, else None
+    d: object  # pivots (npad,) in explicit-inverse mode, else None
     kkt: object  # original K, kept for iterative refinement (else None)
     inertia: jax.Array  # (3,) int32: pos, neg, zero
     status: jax.Array  # () int32 LinearSolverStatus
@@ -44,13 +51,16 @@ class DenseLDLSolver(LinearSolver):
     zero_tol: pivot threshold below which a pivot counts as zero (default
         0.0 = exact zeros only; see ops.ldl.ldl_inertia)
         (drives both the inertia's ``num_zero`` and the ``singular`` status).
-    explicit_inverse: store K^{-1} (built with MXU-only matmuls,
-        ops.ldl.ldl_inverse) instead of the packed factor, turning back
-        solves into single matmuls — the fast path on TPU, where XLA's
+    explicit_inverse: store W = L^{-1} (built with MXU-only matmuls,
+        ops.ldl.ldl_winv) instead of the packed factor, turning back solves
+        into two thin matmuls — the fast path on TPU, where XLA's
         triangular_solve is latency-bound.
     refine_steps: iterative-refinement passes per solve in explicit-inverse
         mode (residuals against the original K recover direct-solve
-        accuracy; default 1).
+        accuracy; default 1, use >=2 with factor_dtype=float32).
+    factor_dtype: cast the matrix to this dtype for factorization (e.g.
+        jnp.float32 for mixed precision: fast MXU factorization, f64
+        accuracy restored by the refinement passes).  None = input dtype.
     """
 
     def __init__(
@@ -59,11 +69,13 @@ class DenseLDLSolver(LinearSolver):
         zero_tol: float = 0.0,
         explicit_inverse: bool = False,
         refine_steps: int = 1,
+        factor_dtype=None,
     ):
         self.block_size = block_size
         self.zero_tol = zero_tol
         self.explicit_inverse = explicit_inverse
         self.refine_steps = refine_steps
+        self.factor_dtype = factor_dtype
         self._n: Optional[int] = None
 
     def symbolic(self, kkt: jax.Array) -> LinearSolverResults:
@@ -75,7 +87,9 @@ class DenseLDLSolver(LinearSolver):
 
     def numeric(self, kkt: jax.Array) -> DenseLDLFactor:
         n = kkt.shape[-1]
-        LD, d = ldl_factor(kkt, block_size=min(self.block_size, max(8, n)))
+        kf = kkt.astype(self.factor_dtype) if self.factor_dtype else kkt
+        bs = min(self.block_size, max(8, n))
+        LD, d = ldl_factor(kf, block_size=bs)
         pos, neg, zero = ldl_inertia(d, n=n, zero_tol=self.zero_tol)
         # successful iff every logical pivot is cleanly nonzero and finite;
         # NaN pivots fall in no bucket so pos+neg < n also maps to singular.
@@ -87,26 +101,28 @@ class DenseLDLSolver(LinearSolver):
         )
         inertia = jnp.stack([pos, neg, zero])
         if self.explicit_inverse:
-            kinv = ldl_inverse(LD, jnp.diagonal(LD))[:n, :n]
+            W, dd = ldl_winv(LD, bs)
             return DenseLDLFactor(
                 LD=None,
-                kinv=kinv,
+                W=W,
+                d=dd,
                 kkt=kkt if self.refine_steps > 0 else None,
                 inertia=inertia,
                 status=status,
                 n=n,
             )
         return DenseLDLFactor(
-            LD=LD, kinv=None, kkt=None, inertia=inertia, status=status, n=n
+            LD=LD, W=None, d=None, kkt=None, inertia=inertia, status=status, n=n
         )
 
     def solve(self, fact: DenseLDLFactor, rhs: jax.Array) -> jax.Array:
-        if fact.kinv is None:
+        if fact.W is None:
             return ldl_solve(fact.LD, rhs)
-        x = jnp.matmul(fact.kinv, rhs, preferred_element_type=rhs.dtype)
+        fd = fact.W.dtype
+        x = winv_apply(fact.W, fact.d, rhs.astype(fd)).astype(rhs.dtype)
         for _ in range(self.refine_steps):
             r = rhs - jnp.matmul(fact.kkt, x, preferred_element_type=rhs.dtype)
-            x = x + jnp.matmul(fact.kinv, r, preferred_element_type=rhs.dtype)
+            x = x + winv_apply(fact.W, fact.d, r.astype(fd)).astype(rhs.dtype)
         return x
 
     def inertia(self, fact: DenseLDLFactor):

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from parapint_tpu.linalg.base import LinearSolver
 from parapint_tpu.linalg.dense import DenseLDLSolver
 from parapint_tpu.linalg.results import LinearSolverResults, LinearSolverStatus
-from parapint_tpu.ops.ldl import ldl_factor, ldl_inertia, ldl_inverse, ldl_solve
+from parapint_tpu.ops.ldl import ldl_factor, ldl_inertia, ldl_solve, ldl_winv
 
 
 @jax.tree_util.register_dataclass
@@ -124,7 +124,8 @@ class BlockRhs:
 @dataclasses.dataclass(frozen=True)
 class SchurFactor:
     block_LD: object  # (N, npad, npad) packed per-block LDL factors (or None)
-    block_kinv: object  # (N, nk, nk) explicit block inverses (or None)
+    block_W: object  # (N, npad, npad) explicit L^{-1} per block (or None)
+    block_d: object  # (N, npad) pivots, W-mode (or None)
     diag: object  # original diagonal blocks, kept for refinement (or None)
     q: object  # original coupling block, kept for refinement (or None)
     border: object  # (N, nc, nk) for the dense-border path, else None
@@ -158,14 +159,35 @@ def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: 
     return LD, inertia, status
 
 
-def _factor_blocks_inv(diag, mask, block_size: int, zero_tol: float):
-    """Like :func:`_factor_blocks` but also returns explicit block inverses
-    K_i^{-1} (ops.ldl.ldl_inverse) so every downstream application of
-    K_i^{-1} is a plain batched matmul."""
+def _factor_blocks_winv(
+    diag, mask, block_size: int, zero_tol: float, factor_dtype=None
+):
+    """Like :func:`_factor_blocks` but returns (W, d) with W = L^{-1}
+    (ops.ldl.ldl_winv) so every downstream K_i^{-1} application is two thin
+    batched matmuls; optionally factors in a lower precision
+    (``factor_dtype``) for mixed-precision solves."""
     nk = diag.shape[-1]
+    if factor_dtype is not None:
+        diag = diag.astype(factor_dtype)
     LD, inertia, status = _factor_blocks(diag, mask, block_size, zero_tol)
-    kinv = jax.vmap(lambda ld: ldl_inverse(ld, jnp.diagonal(ld))[:nk, :nk])(LD)
-    return kinv, inertia, status
+    bs = min(block_size, max(8, nk))
+    W, d = jax.vmap(lambda ld: ldl_winv(ld, bs))(LD)
+    return W, d, inertia, status
+
+
+def _winv_apply_batched(W, d, b):
+    """K_i^{-1} b_i for a batch: b (N, nk) -> (N, nk), in W's dtype."""
+    nk = b.shape[-1]
+    npad = W.shape[-1]
+    bf = b.astype(W.dtype)
+    if npad != nk:
+        bf = jnp.pad(bf, ((0, 0), (0, npad - nk)))
+    d_safe = jnp.where(jnp.abs(d) > 0, d, 1.0)
+    y = jnp.einsum("bij,bj->bi", W, bf, preferred_element_type=W.dtype)
+    x = jnp.einsum(
+        "bji,bj->bi", W, y / d_safe, preferred_element_type=W.dtype
+    )
+    return x[:, :nk]
 
 
 def _sc_contribution(LD: jax.Array, border: jax.Array, mask: jax.Array):
@@ -186,14 +208,25 @@ def _form_sc(LD: jax.Array, border: jax.Array, q: jax.Array, mask: jax.Array):
 # -- local-border helpers ----------------------------------------------------
 
 
-def _sc_contribution_inv(kinv, border, mask):
-    """Inverse-mode dense-border SC contribution: all matmuls."""
-    V = jnp.einsum(
-        "bij,bcj->bic", kinv, border, preferred_element_type=border.dtype
-    )
+def _winv_multi(W, d, A_cols):
+    """U = W @ A_cols and S = U^T D^{-1} U per block (A K^{-1} A^T in
+    symmetric W-form); A_cols is (N, nk, L).  Returns S (N, L, L)."""
+    nk = A_cols.shape[1]
+    npad = W.shape[-1]
+    Af = A_cols.astype(W.dtype)
+    if npad != nk:
+        Af = jnp.pad(Af, ((0, 0), (0, npad - nk), (0, 0)))
+    U = jnp.einsum("bij,bjl->bil", W, Af, preferred_element_type=W.dtype)
+    d_safe = jnp.where(jnp.abs(d) > 0, d, 1.0)
     return jnp.einsum(
-        "bci,bik,b->ck", border, V, mask, preferred_element_type=border.dtype
+        "bpl,bpk->blk", U, U / d_safe[:, :, None], preferred_element_type=W.dtype
     )
+
+
+def _sc_contribution_winv(W, d, border, mask):
+    """W-mode dense-border SC contribution: all matmuls."""
+    S = _winv_multi(W, d, jnp.swapaxes(border, 1, 2))  # (N, nc, nc)
+    return jnp.einsum("bck,b->ck", S, mask.astype(S.dtype))
 
 
 def _scatter_sc(S_loc, row_idx, nc: int):
@@ -215,14 +248,9 @@ def _sc_contribution_local(LD, border_loc, row_idx, nc: int):
     return _scatter_sc(S_loc, row_idx, nc)
 
 
-def _sc_contribution_local_inv(kinv, border_loc, row_idx, nc: int):
-    """Inverse-mode local-border SC contribution: all matmuls."""
-    V = jnp.einsum(
-        "bij,blj->bil", kinv, border_loc, preferred_element_type=border_loc.dtype
-    )  # (N, nk, L)
-    S_loc = jnp.einsum(
-        "bli,bik->blk", border_loc, V, preferred_element_type=border_loc.dtype
-    )
+def _sc_contribution_local_winv(W, d, border_loc, row_idx, nc: int):
+    """W-mode local-border SC contribution: all matmuls + scatter-add."""
+    S_loc = _winv_multi(W, d, jnp.swapaxes(border_loc, 1, 2))  # (N, L, L)
     return _scatter_sc(S_loc, row_idx, nc)
 
 
@@ -284,7 +312,8 @@ class SchurComplementSolver(LinearSolver):
         block_size: int = 128,
         zero_tol: float = 0.0,
         explicit_inverse: bool = False,
-        refine_steps: int = 1,
+        refine_steps: Optional[int] = None,
+        factor_dtype=None,
     ):
         self.sc_solver = (
             schur_complement_solver
@@ -293,11 +322,17 @@ class SchurComplementSolver(LinearSolver):
                 block_size=block_size,
                 zero_tol=zero_tol,
                 explicit_inverse=explicit_inverse,
+                # the SC is formed in factor_dtype already; its own internal
+                # refinement is unnecessary (global refinement covers it)
+                refine_steps=0,
             )
         )
         self.block_size = block_size
         self.zero_tol = zero_tol
         self.explicit_inverse = explicit_inverse
+        self.factor_dtype = factor_dtype
+        if refine_steps is None:
+            refine_steps = 2 if factor_dtype is not None else 1
         self.refine_steps = refine_steps if explicit_inverse else 0
 
     def symbolic(self, kkt) -> LinearSolverResults:
@@ -326,19 +361,20 @@ class SchurComplementSolver(LinearSolver):
         nc = kkt.q.shape[-1]
         local = isinstance(kkt, LocalBlockKKT)
         if self.explicit_inverse:
-            kinv, blk_inertia, blk_status = _factor_blocks_inv(
-                kkt.diag, kkt.mask, self.block_size, self.zero_tol
+            W, d, blk_inertia, blk_status = _factor_blocks_winv(
+                kkt.diag, kkt.mask, self.block_size, self.zero_tol,
+                self.factor_dtype,
             )
             LD = None
             if local:
-                contrib = _sc_contribution_local_inv(
-                    kinv, kkt.border_loc, kkt.row_idx, nc
+                contrib = _sc_contribution_local_winv(
+                    W, d, kkt.border_loc, kkt.row_idx, nc
                 )
             else:
-                contrib = _sc_contribution_inv(kinv, kkt.border, kkt.mask)
-            sc = kkt.q - contrib
+                contrib = _sc_contribution_winv(W, d, kkt.border, kkt.mask)
+            sc = kkt.q.astype(W.dtype) - contrib
         else:
-            kinv = None
+            W = d = None
             LD, blk_inertia, blk_status = _factor_blocks(
                 kkt.diag, kkt.mask, self.block_size, self.zero_tol
             )
@@ -355,7 +391,8 @@ class SchurComplementSolver(LinearSolver):
         keep = self.refine_steps > 0
         return SchurFactor(
             block_LD=LD,
-            block_kinv=kinv,
+            block_W=W,
+            block_d=d,
             diag=kkt.diag if keep else None,
             q=kkt.q if keep else None,
             border=None if local else kkt.border,
@@ -369,11 +406,9 @@ class SchurComplementSolver(LinearSolver):
         )
 
     def _apply_blocks(self, fact: SchurFactor, b):
-        """K_i^{-1} b_i for every block."""
-        if fact.block_kinv is not None:
-            return jnp.einsum(
-                "bij,bj->bi", fact.block_kinv, b, preferred_element_type=b.dtype
-            )
+        """K_i^{-1} b_i for every block (in the factor's dtype)."""
+        if fact.block_W is not None:
+            return _winv_apply_batched(fact.block_W, fact.block_d, b)
         return jax.vmap(lambda ld, bb: ldl_solve(ld, bb))(fact.block_LD, b)[
             :, : fact.nk
         ]
@@ -405,13 +440,19 @@ class SchurComplementSolver(LinearSolver):
         return BlockRhs(blocks=x, coupling=y)
 
     def solve(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
-        x = self._solve_once(fact, rhs)
+        def up(b: BlockRhs) -> BlockRhs:  # promote to the rhs (f64) dtype
+            return BlockRhs(
+                blocks=b.blocks.astype(rhs.blocks.dtype),
+                coupling=b.coupling.astype(rhs.coupling.dtype),
+            )
+
+        x = up(self._solve_once(fact, rhs))
         for _ in range(self.refine_steps):
             kx = _kkt_matvec(fact, x)
             r = BlockRhs(
                 blocks=rhs.blocks - kx.blocks, coupling=rhs.coupling - kx.coupling
             )
-            dx = self._solve_once(fact, r)
+            dx = up(self._solve_once(fact, r))
             x = BlockRhs(
                 blocks=x.blocks + dx.blocks, coupling=x.coupling + dx.coupling
             )

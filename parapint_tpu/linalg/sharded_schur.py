@@ -42,12 +42,13 @@ from parapint_tpu.linalg.schur import (
     _border_apply_local,
     _border_T_apply_local,
     _factor_blocks,
-    _factor_blocks_inv,
+    _factor_blocks_winv,
     _kkt_matvec,
     _sc_contribution,
-    _sc_contribution_inv,
+    _sc_contribution_winv,
     _sc_contribution_local,
-    _sc_contribution_local_inv,
+    _sc_contribution_local_winv,
+    _winv_apply_batched,
 )
 from parapint_tpu.ops.ldl import ldl_solve
 
@@ -70,7 +71,8 @@ class ShardedSchurComplementSolver(LinearSolver):
         block_size: int = 128,
         zero_tol: float = 0.0,
         explicit_inverse: bool = False,
-        refine_steps: int = 1,
+        refine_steps: Optional[int] = None,
+        factor_dtype=None,
     ):
         self.mesh = mesh
         self.axis_name = axis_name
@@ -81,11 +83,15 @@ class ShardedSchurComplementSolver(LinearSolver):
                 block_size=block_size,
                 zero_tol=zero_tol,
                 explicit_inverse=explicit_inverse,
+                refine_steps=0,
             )
         )
         self.block_size = block_size
         self.zero_tol = zero_tol
         self.explicit_inverse = explicit_inverse
+        self.factor_dtype = factor_dtype
+        if refine_steps is None:
+            refine_steps = 2 if factor_dtype is not None else 1
         self.refine_steps = refine_steps if explicit_inverse else 0
         self.n_shards = mesh.shape[axis_name]
 
@@ -117,23 +123,26 @@ class ShardedSchurComplementSolver(LinearSolver):
         nc = kkt.q.shape[-1]
 
         def _numeric(diag, border, row_idx, q, mask):
-            # local shard: batched LDL^T (or explicit inverses) of owned blocks
+            # local shard: batched LDL^T (or explicit W = L^{-1}) of owned blocks
             if self.explicit_inverse:
-                fac, blk_inertia, blk_status = _factor_blocks_inv(
-                    diag, mask, self.block_size, self.zero_tol
+                W, d, blk_inertia, blk_status = _factor_blocks_winv(
+                    diag, mask, self.block_size, self.zero_tol, self.factor_dtype
                 )
+                fac = (W, d)
                 if local:
-                    contrib = _sc_contribution_local_inv(fac, border, row_idx, nc)
+                    contrib = _sc_contribution_local_winv(W, d, border, row_idx, nc)
                 else:
-                    contrib = _sc_contribution_inv(fac, border, mask)
+                    contrib = _sc_contribution_winv(W, d, border, mask)
+                q = q.astype(W.dtype)
             else:
                 fac, blk_inertia, blk_status = _factor_blocks(
                     diag, mask, self.block_size, self.zero_tol
                 )
+                fac = (fac, jnp.zeros(0))
                 if local:
-                    contrib = _sc_contribution_local(fac, border, row_idx, nc)
+                    contrib = _sc_contribution_local(fac[0], border, row_idx, nc)
                 else:
-                    contrib = _sc_contribution(fac, border, mask)
+                    contrib = _sc_contribution(fac[0], border, mask)
             # S = Q - psum_i A_i K_i^{-1} A_i^T  (ICI all-reduce;
             # reference: comm.Allreduce of SC data, :343)
             sc = q - jax.lax.psum(contrib, ax)
@@ -151,17 +160,19 @@ class ShardedSchurComplementSolver(LinearSolver):
             (kkt.diag.shape[0], 1), dtype=jnp.int32
         )
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), self._sc_fact_struct(kkt))
+        fac_specs = (P(ax), P(ax)) if self.explicit_inverse else (P(ax), P())
         fac, sc_fact, inertia, status = shard_map(
             _numeric,
             mesh=self.mesh,
             in_specs=(P(ax), P(ax), P(ax), P(), P(ax)),
-            out_specs=(P(ax), sc_fact_specs, P(), P()),
+            out_specs=(fac_specs, sc_fact_specs, P(), P()),
             check_vma=False,
         )(kkt.diag, border_arg, row_idx_arg, kkt.q, kkt.mask)
         keep = self.refine_steps > 0
         return SchurFactor(
-            block_LD=None if self.explicit_inverse else fac,
-            block_kinv=fac if self.explicit_inverse else None,
+            block_LD=None if self.explicit_inverse else fac[0],
+            block_W=fac[0] if self.explicit_inverse else None,
+            block_d=fac[1] if self.explicit_inverse else None,
             diag=kkt.diag if keep else None,
             q=kkt.q if keep else None,
             border=None if local else kkt.border,
@@ -187,15 +198,13 @@ class ShardedSchurComplementSolver(LinearSolver):
         nk = fact.nk
         nc = fact.nc
         local = fact.border is None
-        inv = fact.block_kinv is not None
+        inv = fact.block_W is not None
         refine = self.refine_steps if fact.diag is not None else 0
 
         def apply_blocks(fac, b):
             if inv:
-                return jnp.einsum(
-                    "bij,bj->bi", fac, b, preferred_element_type=b.dtype
-                )
-            return jax.vmap(lambda ld, bb: ldl_solve(ld, bb))(fac, b)[:, :nk]
+                return _winv_apply_batched(fac[0], fac[1], b)
+            return jax.vmap(lambda ld, bb: ldl_solve(ld, bb))(fac[0], b)[:, :nk]
 
         def solve_once(fac, border, row_idx, sc_fact, blocks, coupling):
             v = apply_blocks(fac, blocks)
@@ -220,10 +229,13 @@ class ShardedSchurComplementSolver(LinearSolver):
 
         def _solve(fac, border, row_idx, sc_fact, diag, q, blocks, coupling):
             x, y = solve_once(fac, border, row_idx, sc_fact, blocks, coupling)
+            x = x.astype(blocks.dtype)
+            y = y.astype(coupling.dtype)
             for _ in range(refine):
                 shard_view = SchurFactor(
                     block_LD=None,
-                    block_kinv=None,
+                    block_W=None,
+                    block_d=None,
                     diag=diag,
                     q=q,
                     border=None if local else border,
@@ -246,24 +258,28 @@ class ShardedSchurComplementSolver(LinearSolver):
                     blocks - kx.blocks,
                     coupling - kx.coupling,
                 )
-                x = x + dx
-                y = y + dy
+                x = x + dx.astype(x.dtype)
+                y = y + dy.astype(y.dtype)
             return x, y
 
-        fac_arg = fact.block_kinv if inv else fact.block_LD
+        if inv:
+            fac_arg = (fact.block_W, fact.block_d)
+            fac_specs = (P(ax), P(ax))
+        else:
+            fac_arg = (fact.block_LD, jnp.zeros(0))
+            fac_specs = (P(ax), P())
+        nb = fac_arg[0].shape[0]
         border_arg = fact.border_loc if local else fact.border
         row_idx_arg = (
-            fact.row_idx
-            if local
-            else jnp.zeros((fac_arg.shape[0], 1), dtype=jnp.int32)
+            fact.row_idx if local else jnp.zeros((nb, 1), dtype=jnp.int32)
         )
-        diag_arg = fact.diag if refine else jnp.zeros((fac_arg.shape[0], 1, 1))
+        diag_arg = fact.diag if refine else jnp.zeros((nb, 1, 1))
         q_arg = fact.q if refine else jnp.zeros((1, 1))
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), fact.sc_fact)
         x, y = shard_map(
             _solve,
             mesh=self.mesh,
-            in_specs=(P(ax), P(ax), P(ax), sc_fact_specs, P(ax), P(), P(ax), P()),
+            in_specs=(fac_specs, P(ax), P(ax), sc_fact_specs, P(ax), P(), P(ax), P()),
             out_specs=(P(ax), P()),
             check_vma=False,
         )(
