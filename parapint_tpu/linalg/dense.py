@@ -25,6 +25,7 @@ from parapint_tpu.ops.ldl import (
     ldl_inertia,
     ldl_solve,
     ldl_winv,
+    ruiz_scale,
     winv_apply,
 )
 
@@ -35,6 +36,7 @@ class DenseLDLFactor:
     LD: object  # packed factor (npad, npad); None in explicit-inverse mode
     W: object  # L^{-1} (npad, npad) in explicit-inverse mode, else None
     d: object  # pivots (npad,) in explicit-inverse mode, else None
+    s: object  # Ruiz equilibration scaling (n,), W-mode, else None
     kkt: object  # original K, kept for iterative refinement (else None)
     inertia: jax.Array  # (3,) int32: pos, neg, zero
     status: jax.Array  # () int32 LinearSolverStatus
@@ -87,7 +89,17 @@ class DenseLDLSolver(LinearSolver):
 
     def numeric(self, kkt: jax.Array) -> DenseLDLFactor:
         n = kkt.shape[-1]
-        kf = kkt.astype(self.factor_dtype) if self.factor_dtype else kkt
+        if self.explicit_inverse:
+            # Ruiz-equilibrate so a lower-precision factorization keeps its
+            # pivot signs (inertia) despite the barrier dynamic range
+            s = ruiz_scale(kkt)
+            kf = kkt * s[:, None] * s[None, :]
+        else:
+            s = None
+            kf = kkt
+        if self.factor_dtype is not None:
+            kf = kf.astype(self.factor_dtype)
+            s = s.astype(self.factor_dtype) if s is not None else None
         bs = min(self.block_size, max(8, n))
         LD, d = ldl_factor(kf, block_size=bs)
         pos, neg, zero = ldl_inertia(d, n=n, zero_tol=self.zero_tol)
@@ -106,23 +118,31 @@ class DenseLDLSolver(LinearSolver):
                 LD=None,
                 W=W,
                 d=dd,
+                s=s,
                 kkt=kkt if self.refine_steps > 0 else None,
                 inertia=inertia,
                 status=status,
                 n=n,
             )
         return DenseLDLFactor(
-            LD=LD, W=None, d=None, kkt=None, inertia=inertia, status=status, n=n
+            LD=LD, W=None, d=None, s=None, kkt=None, inertia=inertia,
+            status=status, n=n,
         )
 
     def solve(self, fact: DenseLDLFactor, rhs: jax.Array) -> jax.Array:
         if fact.W is None:
             return ldl_solve(fact.LD, rhs)
         fd = fact.W.dtype
-        x = winv_apply(fact.W, fact.d, rhs.astype(fd)).astype(rhs.dtype)
+
+        def apply(b):
+            bs_ = b.astype(fd)
+            sc = fact.s if b.ndim == 1 else fact.s[:, None]
+            return (winv_apply(fact.W, fact.d, bs_ * sc) * sc).astype(rhs.dtype)
+
+        x = apply(rhs)
         for _ in range(self.refine_steps):
             r = rhs - jnp.matmul(fact.kkt, x, preferred_element_type=rhs.dtype)
-            x = x + winv_apply(fact.W, fact.d, r.astype(fd)).astype(rhs.dtype)
+            x = x + apply(r)
         return x
 
     def inertia(self, fact: DenseLDLFactor):

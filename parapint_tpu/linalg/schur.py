@@ -39,7 +39,13 @@ import jax.numpy as jnp
 from parapint_tpu.linalg.base import LinearSolver
 from parapint_tpu.linalg.dense import DenseLDLSolver
 from parapint_tpu.linalg.results import LinearSolverResults, LinearSolverStatus
-from parapint_tpu.ops.ldl import ldl_factor, ldl_inertia, ldl_solve, ldl_winv
+from parapint_tpu.ops.ldl import (
+    ldl_factor,
+    ldl_inertia,
+    ldl_solve,
+    ldl_winv,
+    ruiz_scale,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -126,6 +132,7 @@ class SchurFactor:
     block_LD: object  # (N, npad, npad) packed per-block LDL factors (or None)
     block_W: object  # (N, npad, npad) explicit L^{-1} per block (or None)
     block_d: object  # (N, npad) pivots, W-mode (or None)
+    block_s: object  # (N, nk) Ruiz equilibration scaling, W-mode (or None)
     diag: object  # original diagonal blocks, kept for refinement (or None)
     q: object  # original coupling block, kept for refinement (or None)
     border: object  # (N, nc, nk) for the dense-border path, else None
@@ -162,24 +169,29 @@ def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: 
 def _factor_blocks_winv(
     diag, mask, block_size: int, zero_tol: float, factor_dtype=None
 ):
-    """Like :func:`_factor_blocks` but returns (W, d) with W = L^{-1}
-    (ops.ldl.ldl_winv) so every downstream K_i^{-1} application is two thin
-    batched matmuls; optionally factors in a lower precision
-    (``factor_dtype``) for mixed-precision solves."""
+    """Like :func:`_factor_blocks` but returns (W, d, s) with W = L^{-1} of
+    the Ruiz-equilibrated blocks (K_i^{-1} = s W^T D^{-1} W s), so every
+    downstream K_i^{-1} application is two thin batched matmuls.
+    Equilibration keeps a lower-precision (``factor_dtype``) factorization's
+    pivot signs — and hence the inertia — intact despite the KKT's
+    barrier-term dynamic range."""
     nk = diag.shape[-1]
+    s = jax.vmap(ruiz_scale)(diag)  # (N, nk), computed in input precision
+    diag = diag * s[:, :, None] * s[:, None, :]
     if factor_dtype is not None:
         diag = diag.astype(factor_dtype)
+        s = s.astype(factor_dtype)
     LD, inertia, status = _factor_blocks(diag, mask, block_size, zero_tol)
     bs = min(block_size, max(8, nk))
     W, d = jax.vmap(lambda ld: ldl_winv(ld, bs))(LD)
-    return W, d, inertia, status
+    return W, d, s, inertia, status
 
 
-def _winv_apply_batched(W, d, b):
+def _winv_apply_batched(W, d, s, b):
     """K_i^{-1} b_i for a batch: b (N, nk) -> (N, nk), in W's dtype."""
     nk = b.shape[-1]
     npad = W.shape[-1]
-    bf = b.astype(W.dtype)
+    bf = b.astype(W.dtype) * s
     if npad != nk:
         bf = jnp.pad(bf, ((0, 0), (0, npad - nk)))
     d_safe = jnp.where(jnp.abs(d) > 0, d, 1.0)
@@ -187,7 +199,7 @@ def _winv_apply_batched(W, d, b):
     x = jnp.einsum(
         "bji,bj->bi", W, y / d_safe, preferred_element_type=W.dtype
     )
-    return x[:, :nk]
+    return x[:, :nk] * s
 
 
 def _sc_contribution(LD: jax.Array, border: jax.Array, mask: jax.Array):
@@ -208,12 +220,12 @@ def _form_sc(LD: jax.Array, border: jax.Array, q: jax.Array, mask: jax.Array):
 # -- local-border helpers ----------------------------------------------------
 
 
-def _winv_multi(W, d, A_cols):
-    """U = W @ A_cols and S = U^T D^{-1} U per block (A K^{-1} A^T in
-    symmetric W-form); A_cols is (N, nk, L).  Returns S (N, L, L)."""
+def _winv_multi(W, d, s, A_cols):
+    """U = W @ (s * A_cols) and S = U^T D^{-1} U per block (A K^{-1} A^T in
+    scaled symmetric W-form); A_cols is (N, nk, L).  Returns S (N, L, L)."""
     nk = A_cols.shape[1]
     npad = W.shape[-1]
-    Af = A_cols.astype(W.dtype)
+    Af = A_cols.astype(W.dtype) * s[:, :, None]
     if npad != nk:
         Af = jnp.pad(Af, ((0, 0), (0, npad - nk), (0, 0)))
     U = jnp.einsum("bij,bjl->bil", W, Af, preferred_element_type=W.dtype)
@@ -223,9 +235,9 @@ def _winv_multi(W, d, A_cols):
     )
 
 
-def _sc_contribution_winv(W, d, border, mask):
+def _sc_contribution_winv(W, d, s, border, mask):
     """W-mode dense-border SC contribution: all matmuls."""
-    S = _winv_multi(W, d, jnp.swapaxes(border, 1, 2))  # (N, nc, nc)
+    S = _winv_multi(W, d, s, jnp.swapaxes(border, 1, 2))  # (N, nc, nc)
     return jnp.einsum("bck,b->ck", S, mask.astype(S.dtype))
 
 
@@ -248,9 +260,9 @@ def _sc_contribution_local(LD, border_loc, row_idx, nc: int):
     return _scatter_sc(S_loc, row_idx, nc)
 
 
-def _sc_contribution_local_winv(W, d, border_loc, row_idx, nc: int):
+def _sc_contribution_local_winv(W, d, s, border_loc, row_idx, nc: int):
     """W-mode local-border SC contribution: all matmuls + scatter-add."""
-    S_loc = _winv_multi(W, d, jnp.swapaxes(border_loc, 1, 2))  # (N, L, L)
+    S_loc = _winv_multi(W, d, s, jnp.swapaxes(border_loc, 1, 2))  # (N, L, L)
     return _scatter_sc(S_loc, row_idx, nc)
 
 
@@ -361,20 +373,20 @@ class SchurComplementSolver(LinearSolver):
         nc = kkt.q.shape[-1]
         local = isinstance(kkt, LocalBlockKKT)
         if self.explicit_inverse:
-            W, d, blk_inertia, blk_status = _factor_blocks_winv(
+            W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
                 kkt.diag, kkt.mask, self.block_size, self.zero_tol,
                 self.factor_dtype,
             )
             LD = None
             if local:
                 contrib = _sc_contribution_local_winv(
-                    W, d, kkt.border_loc, kkt.row_idx, nc
+                    W, d, s, kkt.border_loc, kkt.row_idx, nc
                 )
             else:
-                contrib = _sc_contribution_winv(W, d, kkt.border, kkt.mask)
+                contrib = _sc_contribution_winv(W, d, s, kkt.border, kkt.mask)
             sc = kkt.q.astype(W.dtype) - contrib
         else:
-            W = d = None
+            W = d = s = None
             LD, blk_inertia, blk_status = _factor_blocks(
                 kkt.diag, kkt.mask, self.block_size, self.zero_tol
             )
@@ -393,6 +405,7 @@ class SchurComplementSolver(LinearSolver):
             block_LD=LD,
             block_W=W,
             block_d=d,
+            block_s=s,
             diag=kkt.diag if keep else None,
             q=kkt.q if keep else None,
             border=None if local else kkt.border,
@@ -408,7 +421,7 @@ class SchurComplementSolver(LinearSolver):
     def _apply_blocks(self, fact: SchurFactor, b):
         """K_i^{-1} b_i for every block (in the factor's dtype)."""
         if fact.block_W is not None:
-            return _winv_apply_batched(fact.block_W, fact.block_d, b)
+            return _winv_apply_batched(fact.block_W, fact.block_d, fact.block_s, b)
         return jax.vmap(lambda ld, bb: ldl_solve(ld, bb))(fact.block_LD, b)[
             :, : fact.nk
         ]

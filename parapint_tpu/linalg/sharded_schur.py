@@ -125,20 +125,22 @@ class ShardedSchurComplementSolver(LinearSolver):
         def _numeric(diag, border, row_idx, q, mask):
             # local shard: batched LDL^T (or explicit W = L^{-1}) of owned blocks
             if self.explicit_inverse:
-                W, d, blk_inertia, blk_status = _factor_blocks_winv(
+                W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
                     diag, mask, self.block_size, self.zero_tol, self.factor_dtype
                 )
-                fac = (W, d)
+                fac = (W, d, s)
                 if local:
-                    contrib = _sc_contribution_local_winv(W, d, border, row_idx, nc)
+                    contrib = _sc_contribution_local_winv(
+                        W, d, s, border, row_idx, nc
+                    )
                 else:
-                    contrib = _sc_contribution_winv(W, d, border, mask)
+                    contrib = _sc_contribution_winv(W, d, s, border, mask)
                 q = q.astype(W.dtype)
             else:
                 fac, blk_inertia, blk_status = _factor_blocks(
                     diag, mask, self.block_size, self.zero_tol
                 )
-                fac = (fac, jnp.zeros(0))
+                fac = (fac, jnp.zeros(0), jnp.zeros(0))
                 if local:
                     contrib = _sc_contribution_local(fac[0], border, row_idx, nc)
                 else:
@@ -160,7 +162,9 @@ class ShardedSchurComplementSolver(LinearSolver):
             (kkt.diag.shape[0], 1), dtype=jnp.int32
         )
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), self._sc_fact_struct(kkt))
-        fac_specs = (P(ax), P(ax)) if self.explicit_inverse else (P(ax), P())
+        fac_specs = (
+            (P(ax), P(ax), P(ax)) if self.explicit_inverse else (P(ax), P(), P())
+        )
         fac, sc_fact, inertia, status = shard_map(
             _numeric,
             mesh=self.mesh,
@@ -173,6 +177,7 @@ class ShardedSchurComplementSolver(LinearSolver):
             block_LD=None if self.explicit_inverse else fac[0],
             block_W=fac[0] if self.explicit_inverse else None,
             block_d=fac[1] if self.explicit_inverse else None,
+            block_s=fac[2] if self.explicit_inverse else None,
             diag=kkt.diag if keep else None,
             q=kkt.q if keep else None,
             border=None if local else kkt.border,
@@ -203,7 +208,7 @@ class ShardedSchurComplementSolver(LinearSolver):
 
         def apply_blocks(fac, b):
             if inv:
-                return _winv_apply_batched(fac[0], fac[1], b)
+                return _winv_apply_batched(fac[0], fac[1], fac[2], b)
             return jax.vmap(lambda ld, bb: ldl_solve(ld, bb))(fac[0], b)[:, :nk]
 
         def solve_once(fac, border, row_idx, sc_fact, blocks, coupling):
@@ -236,6 +241,7 @@ class ShardedSchurComplementSolver(LinearSolver):
                     block_LD=None,
                     block_W=None,
                     block_d=None,
+                    block_s=None,
                     diag=diag,
                     q=q,
                     border=None if local else border,
@@ -263,11 +269,11 @@ class ShardedSchurComplementSolver(LinearSolver):
             return x, y
 
         if inv:
-            fac_arg = (fact.block_W, fact.block_d)
-            fac_specs = (P(ax), P(ax))
+            fac_arg = (fact.block_W, fact.block_d, fact.block_s)
+            fac_specs = (P(ax), P(ax), P(ax))
         else:
-            fac_arg = (fact.block_LD, jnp.zeros(0))
-            fac_specs = (P(ax), P())
+            fac_arg = (fact.block_LD, jnp.zeros(0), jnp.zeros(0))
+            fac_specs = (P(ax), P(), P())
         nb = fac_arg[0].shape[0]
         border_arg = fact.border_loc if local else fact.border
         row_idx_arg = (

@@ -86,6 +86,23 @@ def unit_lower_inv(L: jax.Array) -> jax.Array:
     return S
 
 
+def ruiz_scale(A: jax.Array, iters: int = 3) -> jax.Array:
+    """Symmetric Ruiz equilibration scaling s: s*A*s has rows with max
+    magnitude ~1.  Interior-point KKT matrices carry barrier terms spanning
+    ~16 orders of magnitude; equilibrating before a lower-precision
+    factorization keeps the pivots representable (inertia is invariant
+    under the congruence, by Sylvester's law).
+    """
+    n = A.shape[-1]
+    s = jnp.ones(n, dtype=A.dtype)
+    for _ in range(iters):
+        As = jnp.abs(A) * s[:, None] * s[None, :]
+        r = jnp.max(As, axis=1)
+        r = jnp.where(r > 0, r, 1.0)
+        s = s / jnp.sqrt(r)
+    return s
+
+
 def unit_lower_inv_blocked(L: jax.Array, block_size: int = 128) -> jax.Array:
     """Blocked inverse of a unit lower-triangular matrix.
 
