@@ -30,6 +30,13 @@ import jax as _jax
 # supported by XLA:TPU; mixed-precision fast paths live in parapint_tpu.ops.
 _jax.config.update("jax_enable_x64", True)
 
+# On TPU, JAX's default matmul precision multiplies f32 operands in bf16.
+# Factorizations are not neural-net matmuls: bf16 products destroy pivot
+# signs (inertia) and make iterative refinement diverge.  "highest" selects
+# the multi-pass f32 MXU path (and exact f64 emulation), which the whole
+# linalg layer assumes.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from parapint_tpu.options import (
     IPOptions,
     InertiaCorrectionOptions,

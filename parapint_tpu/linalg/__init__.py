@@ -18,6 +18,7 @@ from parapint_tpu.linalg.schur import (
 )
 from parapint_tpu.linalg.sharded_schur import ShardedSchurComplementSolver
 from parapint_tpu.linalg.host_bk import HostBKSolver
+from parapint_tpu.linalg.pcg_schur import PCGSchurComplementSolver
 
 __all__ = [
     "LinearSolverStatus",
@@ -31,4 +32,5 @@ __all__ = [
     "LocalBlockKKT",
     "BlockRhs",
     "HostBKSolver",
+    "PCGSchurComplementSolver",
 ]
