@@ -59,6 +59,45 @@ def interface_state_or(interface):
     return state
 
 
+def line_search(
+    interface,
+    state,
+    deltas,
+    alpha_primal_max: float,
+    alpha_dual_max: float,
+    barrier: float,
+    options: IPOptions,
+) -> Optional[float]:
+    """Backtracking line search on the barrier-KKT-residual merit.
+
+    The reference's line search is an unimplemented placeholder
+    (interior_point.py:320-334, disabled by default); this is a working
+    implementation honoring the same options: up to ``max_iter`` halvings of
+    the step, accepting the first trial whose merit (the max of the scaled
+    primal/dual/complementarity infeasibilities at the current barrier)
+    improves on the incumbent; ``step_anyway=True`` takes the full step when
+    no trial improves, ``False`` reports failure (None).
+    """
+    ls = options.line_search
+
+    def merit(s) -> float:
+        info = interface.convergence_info(s, barrier, options.error_scaling)
+        return max(
+            float(info.primal_inf), float(info.dual_inf), float(info.compl_inf_mu)
+        )
+
+    merit0 = merit(state)
+    alpha = 1.0
+    for _ in range(max(1, ls.max_iter)):
+        trial = interface.apply_step(
+            state, deltas, alpha_primal_max, alpha_dual_max, alpha
+        )
+        if merit(trial) < merit0:
+            return alpha
+        alpha *= 0.5
+    return 1.0 if ls.step_anyway else None
+
+
 def try_factorization_and_reallocation(
     kkt, linear_solver: LinearSolver, reallocation_factor, max_iter, timer=None
 ):
@@ -168,6 +207,9 @@ def ip_solve(
     interface,
     options: Optional[IPOptions] = None,
     timer: Optional[HierarchicalTimer] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_interval: int = 10,
+    resume_from: Optional[str] = None,
 ) -> InteriorPointStatus:
     """Solve an NLP with the primal-dual interior-point method.
 
@@ -178,6 +220,9 @@ def ip_solve(
         dynamic/stochastic Schur-complement interfaces.
     options: IPOptions (``options.linalg.solver`` must be set).
     timer: optional HierarchicalTimer.
+    checkpoint_path / checkpoint_interval: write the full solver state every
+        k iterations (beyond-reference; see utils/checkpoint.py).
+    resume_from: path of a checkpoint to resume from.
 
     The final iterate is available as ``interface.get_state()`` /
     ``interface.get_primals()`` after the solve.
@@ -201,6 +246,14 @@ def ip_solve(
 
     t0 = time.time()
     state = interface.init_state()
+    start_iter = 0
+    if resume_from is not None:
+        from parapint_tpu.utils.checkpoint import load_checkpoint
+
+        state, barrier_parameter, inertia_coef, start_iter = load_checkpoint(
+            resume_from, like=state
+        )
+        logger.info(f"resumed from {resume_from} at iteration {start_iter}")
     interface._current_state = state
 
     alpha_primal_max = 1.0
@@ -211,8 +264,19 @@ def ip_solve(
     timer.stop("init")
     status = InteriorPointStatus.error
 
-    for _iter in range(options.max_iter):
+    for _iter in range(start_iter, options.max_iter):
         interface._current_state = state
+        if (
+            checkpoint_path is not None
+            and checkpoint_interval > 0
+            and _iter > start_iter
+            and (_iter - start_iter) % checkpoint_interval == 0
+        ):
+            from parapint_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path, state, barrier_parameter, inertia_coef, _iter
+            )
 
         timer.start("convergence check")
         info = interface.convergence_info(
@@ -293,10 +357,21 @@ def ip_solve(
         if options.line_search.disable:
             alpha = 1.0
         else:
-            raise NotImplementedError(
-                "line search is a placeholder, matching the reference "
-                "(interior_point.py:320-334)"
+            timer.start("line search")
+            alpha = line_search(
+                interface,
+                state,
+                deltas,
+                alpha_primal_max,
+                alpha_dual_max,
+                barrier_parameter,
+                options,
             )
+            timer.stop("line search")
+            if alpha is None:
+                logger.warning("line search failed")
+                status = InteriorPointStatus.error
+                break
 
         state = interface.apply_step(
             state, deltas, alpha_primal_max, alpha_dual_max, alpha

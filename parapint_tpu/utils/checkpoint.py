@@ -1,0 +1,58 @@
+"""Checkpoint/resume for interior-point solves.
+
+The reference has no checkpointing (SURVEY.md section 5.4); its nearest
+feature is warm-starting duals from Ipopt suffix files
+(/root/reference/parapint/interfaces/interface.py:262-282).  Here the whole
+solver state is the :class:`IPState` pytree plus two scalars (barrier,
+inertia coefficient), so checkpointing is exact and cheap: flatten the
+pytree to arrays, store as .npz with the treedef recorded.
+
+Use ``ip_solve(..., checkpoint_path=..., checkpoint_interval=k)`` for
+automatic periodic checkpoints, or call save/load directly.
+"""
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parapint_tpu.interfaces.base import IPState
+
+
+def save_checkpoint(
+    path: str,
+    state: IPState,
+    barrier: float,
+    inertia_coef: float,
+    iteration: int,
+) -> None:
+    """Atomically write the solver state to ``path`` (.npz)."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    meta = dict(
+        barrier=float(barrier),
+        inertia_coef=float(inertia_coef),
+        iteration=int(iteration),
+        treedef=str(treedef),
+        n_leaves=len(leaves),
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, __meta__=json.dumps(meta), **arrays)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, like: IPState) -> Tuple[IPState, float, float, int]:
+    """Load a checkpoint; ``like`` provides the pytree structure (e.g.
+    ``interface.init_state()``).  Returns (state, barrier, inertia_coef,
+    iteration)."""
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
+    _, treedef = jax.tree_util.tree_flatten(like)
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state, meta["barrier"], meta["inertia_coef"], meta["iteration"]
