@@ -3,20 +3,22 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measurement
------------
-- Ours: full ``ip_solve`` of the Burgers optimal-control problem
-  (nfe_x=50, nfe_t=256, 64 time blocks — the BASELINE.md 64-block flagship
-  config) at tol 1e-8 on the available accelerator.  The solve runs twice;
-  the second (compile-cache-warm) run is timed.  iterations/s = iterations /
-  wall time.
+Measurement (ours)
+------------------
+Full device-fused ``ip_solve_fused`` of the Burgers optimal-control problem
+(nfe_x=50, nfe_t=256, 64 time blocks — the BASELINE.md 64-block flagship
+config) at tol 1e-8 on the available accelerator, with the TPU fast path
+(explicit W = L^{-1}, f32 factorization + Ruiz equilibration + f64 iterative
+refinement).  The solve runs twice; the second (compile-warm) run is timed.
+iterations/s = IP iterations / wall time, all evaluation/assembly/
+factorization/convergence work included.
 
 Baseline
 --------
 The reference (sandialabs/parapint) cannot run here (no pyomo/mpi4py), so
-the baseline is a faithful scipy re-implementation of its per-iteration KKT
-linear-algebra path on the *same* assembled KKT blocks, idealized to
-perfect 64-rank MPI scaling (zero communication cost):
+the baseline reconstructs its per-iteration KKT linear-algebra path with
+scipy on the *same* assembled KKT blocks, idealized to perfect 64-rank MPI
+scaling (zero communication cost):
 
   time/iter = max over blocks of (SuperLU factorization of the block +
               one back solve per nonzero border row for the SC contribution,
@@ -26,72 +28,73 @@ perfect 64-rank MPI scaling (zero communication cost):
 
 This EXCLUDES the reference's per-iteration NLP evaluation (Pyomo/ASL) and
 all MPI communication, both of which the reference must also pay — i.e. the
-baseline is strictly favorable to the reference.  Our time includes
-everything (evaluation, assembly, convergence checks, host control flow).
+baseline is strictly favorable to the reference.  The baseline runs in a
+CPU-only subprocess (scipy is host code).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+NFE_X = 50
+NFE_T = 256
+N_BLOCKS = 64
+TOL = 1e-8
 
-def build_problem(nfe_x=50, nfe_t=256, n_blocks=64):
+
+def build_problem(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS):
     import parapint_tpu as pt
     from parapint_tpu.examples import burgers
 
     spec = burgers.build_spec(nfe_x=nfe_x, nfe_t=nfe_t, num_time_blocks=n_blocks)
-    interface = pt.DynamicSchurComplementInteriorPointInterface(spec)
-    return interface
+    return pt.DynamicSchurComplementInteriorPointInterface(spec)
 
 
-def measure_ours(nfe_x=50, nfe_t=256, n_blocks=64, tol=1e-8):
+def _make_solver():
+    import jax.numpy as jnp
     import parapint_tpu as pt
 
-    iters = {"n": 0}
+    return pt.SchurComplementSolver(
+        block_size=128, explicit_inverse=True, factor_dtype=jnp.float32
+    )
 
-    def run():
-        interface = build_problem(nfe_x, nfe_t, n_blocks)
-        options = pt.IPOptions()
-        options.tol = tol
-        options.linalg.solver = pt.SchurComplementSolver(block_size=128)
-        t0 = time.time()
-        status = pt.ip_solve(interface, options)
-        t1 = time.time()
-        assert status == pt.InteriorPointStatus.optimal, status
-        # iteration count: re-derive from the convergence path is awkward;
-        # count via the options hook below instead.
-        return interface, t1 - t0
 
-    # warm-up run (compiles); instrument the second run
-    import parapint_tpu.algorithms.interior_point as ipmod
-
-    interface, _ = run()
-
-    # count iterations by wrapping convergence_info
-    interface2 = build_problem(nfe_x, nfe_t, n_blocks)
-    orig = interface2.convergence_info
-
-    def counting(*a, **k):
-        iters["n"] += 1
-        return orig(*a, **k)
-
-    interface2.convergence_info = counting
+def measure_ours(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS, tol=TOL):
     import parapint_tpu as pt
 
+    interface = build_problem(nfe_x, nfe_t, n_blocks)
     options = pt.IPOptions()
     options.tol = tol
-    options.linalg.solver = pt.SchurComplementSolver(block_size=128)
+    options.linalg.solver = _make_solver()
+    solve = pt.make_fused_ip_solve(interface, options)
+    interface.set_bounds_relaxation_factor(options.bounds_relaxation_factor)
+    state0 = interface.init_state()
+
+    # run 1: compile + solve; run 2: timed
+    result = solve(state0)
+    status = int(result.status)
+    n_iter = int(result.iterations)
+    assert status == pt.InteriorPointStatus.optimal.value, (
+        status,
+        n_iter,
+        float(result.primal_inf),
+        float(result.dual_inf),
+        float(result.compl_inf),
+    )
     t0 = time.time()
-    status = pt.ip_solve(interface2, options)
-    t1 = time.time()
-    assert status == pt.InteriorPointStatus.optimal, status
-    n_iter = iters["n"] - 1  # the final check terminates without a step
-    return n_iter / (t1 - t0), n_iter, t1 - t0
+    result = solve(state0)
+    n_iter = int(result.iterations)  # forces completion
+    wall = time.time() - t0
+    steps = max(1, n_iter - 1)  # final iteration is the terminating check
+    return steps / wall, n_iter, wall
 
 
-def measure_reference_baseline(nfe_x=50, nfe_t=256, n_blocks=64):
-    """Idealized 64-rank parapint per-iteration KKT time (see module doc)."""
+def measure_reference_baseline(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS):
+    """Idealized n_blocks-rank parapint per-iteration KKT time (module doc)."""
     import scipy.sparse as sps
     import scipy.sparse.linalg as spla
 
@@ -99,7 +102,9 @@ def measure_reference_baseline(nfe_x=50, nfe_t=256, n_blocks=64):
     state = interface.init_state()
     interface._current_state = state
     data = interface.eval_kkt_data(state, 0.1)
-    kkt = interface.assemble_kkt(data, 0.0, 0.0)
+    # light regularization so the unregularized zero pivots do not
+    # penalize the baseline's SuperLU either
+    kkt = interface.assemble_kkt(data, 1e-8, 1e-8)
     diag = np.asarray(kkt.diag)
     border = np.asarray(kkt.border_loc)
     row_idx = np.asarray(kkt.row_idx)
@@ -121,20 +126,19 @@ def measure_reference_baseline(nfe_x=50, nfe_t=256, n_blocks=64):
             r = row_idx[i, l]
             if r < ncv and np.any(border[i, l] != 0.0):
                 v = lu.solve(border[i, l])
-                contrib = border[i] @ v  # A_i dot the contribution column
+                contrib = border[i] @ v
                 sc[row_idx[i][local], r] -= contrib[local]
         block_times.append(time.time() - t0)
         lus.append(lu)
 
     t0 = time.time()
-    sc_lu = spla.splu(sps.csc_matrix(sc + np.eye(ncv) * 0.0 + 1e-12 * np.eye(ncv)))
+    sc_lu = spla.splu(sps.csc_matrix(sc + 1e-10 * np.eye(ncv)))
     sc_factor_time = time.time() - t0
 
-    # back-solve phase: 2 block solves + SC solve (reference :363-402),
-    # timed on the slowest block
+    # back-solve phase: 2 block solves + SC solve (reference :363-402)
     t0 = time.time()
-    v0 = lus[0].solve(rhs_blocks[0])
-    v0b = lus[0].solve(rhs_blocks[0])
+    lus[0].solve(rhs_blocks[0])
+    lus[0].solve(rhs_blocks[0])
     block_solve_time = time.time() - t0
     t0 = time.time()
     sc_lu.solve(np.ones(ncv))
@@ -147,8 +151,28 @@ def measure_reference_baseline(nfe_x=50, nfe_t=256, n_blocks=64):
 
 
 def main():
+    if "--baseline-only" in sys.argv:
+        ips, titer = measure_reference_baseline()
+        print(json.dumps({"baseline_ips": ips, "time_per_iter": titer}))
+        return
+
     ours_ips, n_iter, wall = measure_ours()
-    base_ips, base_titer = measure_reference_baseline()
+
+    # baseline in a CPU-only subprocess (scipy path; keeps the accelerator
+    # out of the data movement)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--baseline-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    base = json.loads(out.stdout.strip().splitlines()[-1])
+    base_ips = base["baseline_ips"]
+
     result = {
         "metric": "ip_iterations_per_s_burgers_64blocks",
         "value": round(ours_ips, 4),
@@ -157,7 +181,7 @@ def main():
         "detail": {
             "n_iter": n_iter,
             "wall_s": round(wall, 3),
-            "baseline_time_per_iter_s": round(base_titer, 4),
+            "baseline_time_per_iter_s": round(base["time_per_iter"], 4),
             "baseline": "idealized 64-rank parapint KKT path (scipy SuperLU), "
             "zero comm + zero eval cost",
         },
