@@ -1,0 +1,126 @@
+"""Extended benchmark matrix — the BASELINE.md measurement configs.
+
+Prints one JSON line per config (the driver contract lives in bench.py;
+this script is the full matrix for analysis):
+
+  1. serial IP, small Burgers, 4 time blocks
+  2. dense Schur-complement decomposition, 8 time blocks, single chip
+  3. two-stage stochastic, 32 scenario blocks, batched factorizations
+  4. PCG coupling solver (the sc_mpi/distributed analogue), 8 blocks
+  5. 256-block Burgers (single chip here; multi-host = same code + mesh)
+
+All solves run the device-fused ip_solve at tol 1e-8 with the TPU fast path;
+timing is the second (compile-warm) run.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def fused_iters_per_s(interface, solver, tol=1e-8):
+    import parapint_tpu as pt
+
+    options = pt.IPOptions()
+    options.tol = tol
+    options.linalg.solver = solver
+    solve = pt.make_fused_ip_solve(interface, options)
+    interface.set_bounds_relaxation_factor(options.bounds_relaxation_factor)
+    state0 = interface.init_state()
+    result = solve(state0)
+    assert int(result.status) == pt.InteriorPointStatus.optimal.value, (
+        int(result.status),
+        int(result.iterations),
+    )
+    t0 = time.time()
+    result = solve(state0)
+    n_iter = int(result.iterations)
+    wall = time.time() - t0
+    return max(1, n_iter - 1) / wall, n_iter, wall
+
+
+def stochastic_32():
+    import jax.numpy as jnp
+    import parapint_tpu as pt
+    from parapint_tpu.examples import stochastic as farmer
+
+    rng = np.random.default_rng(0)
+    base = farmer.YIELDS[1]
+    scale = np.linspace(0.7, 1.3, 32)[:, None]
+    yields = base[None, :] * scale * (1.0 + 0.05 * rng.standard_normal((32, 3)))
+    probs = np.full(32, 1.0 / 32)
+    spec = farmer.build_spec(yields=yields, probs=probs)
+    return pt.StochasticSchurComplementInteriorPointInterface(spec)
+
+
+def main():
+    import jax.numpy as jnp
+    import parapint_tpu as pt
+    from parapint_tpu.examples import burgers
+
+    fast = dict(block_size=128, explicit_inverse=True, factor_dtype=jnp.float32)
+    configs = []
+
+    def burgers_if(nfe_x, nfe_t, nblocks):
+        spec = burgers.build_spec(nfe_x=nfe_x, nfe_t=nfe_t, num_time_blocks=nblocks)
+        return pt.DynamicSchurComplementInteriorPointInterface(spec)
+
+    configs.append(
+        (
+            "burgers_serial_4blocks",
+            lambda: (burgers_if(50, 16, 4), pt.SchurComplementSolver(**fast)),
+        )
+    )
+    configs.append(
+        (
+            "burgers_ssc_8blocks",
+            lambda: (burgers_if(50, 32, 8), pt.SchurComplementSolver(**fast)),
+        )
+    )
+    configs.append(
+        (
+            "stochastic_32scenarios",
+            lambda: (
+                stochastic_32(),
+                pt.SchurComplementSolver(block_size=64, explicit_inverse=True),
+            ),
+        )
+    )
+    configs.append(
+        (
+            "burgers_pcg_coupling_8blocks",
+            lambda: (
+                burgers_if(50, 32, 8),
+                pt.PCGSchurComplementSolver(block_size=128, factor_dtype=jnp.float32),
+            ),
+        )
+    )
+    configs.append(
+        (
+            "burgers_256blocks",
+            lambda: (burgers_if(50, 512, 256), pt.SchurComplementSolver(**fast)),
+        )
+    )
+
+    for name, make in configs:
+        try:
+            interface, solver = make()
+            ips, n_iter, wall = fused_iters_per_s(interface, solver)
+            print(
+                json.dumps(
+                    {
+                        "config": name,
+                        "ip_iterations_per_s": round(ips, 4),
+                        "n_iter": n_iter,
+                        "wall_s": round(wall, 3),
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as e:  # keep the matrix running
+            print(json.dumps({"config": name, "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
