@@ -9,8 +9,9 @@ residuals/gradients are exactly 0 — so every formula below is
 padding-oblivious.
 """
 
+import abc
 import dataclasses
-from typing import Any
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,81 @@ class IPState:
     duals_primals_ub: Any
     duals_slacks_lb: Any
     duals_slacks_ub: Any
+
+
+class BaseInteriorPointInterface(abc.ABC):
+    """The interface contract :func:`parapint_tpu.algorithms.ip_solve`
+    programs against.
+
+    The functional redesign of the reference's 50-method stateful ABC
+    (/root/reference/parapint/interfaces/interface.py:9-247): state is an
+    :class:`IPState` pytree passed through pure traceable methods, so the
+    whole iteration can fuse into one XLA computation
+    (:func:`parapint_tpu.algorithms.ip_solve_fused`).  Mapping to the
+    reference's surface:
+
+    - the init_*/set_*/get_* family        -> init_state / apply_step
+    - evaluate_* + check_convergence math  -> convergence_info
+    - evaluate_primal_dual_kkt_matrix/rhs  -> eval_kkt_data + kkt_rhs
+    - regularize_equality_gradient/hessian -> assemble_kkt(data, w_reg, c_reg)
+    - set_primal_dual_kkt_solution + the
+      get_delta_* family                   -> extract_deltas
+    """
+
+    @abc.abstractmethod
+    def init_state(self) -> "IPState":
+        """Initial iterate with bounds/dual processing applied."""
+
+    @abc.abstractmethod
+    def set_bounds_relaxation_factor(self, val: float) -> None: ...
+
+    @abc.abstractmethod
+    def get_bounds_relaxation_factor(self) -> float: ...
+
+    @abc.abstractmethod
+    def convergence_info(self, state, barrier, error_scaling=100.0):
+        """Scaled infeasibilities + objective (a ConvergenceInfo)."""
+
+    @abc.abstractmethod
+    def eval_kkt_data(self, state, barrier):
+        """Evaluate AD quantities + rhs once per iteration (opaque pytree)."""
+
+    @abc.abstractmethod
+    def assemble_kkt(self, data, w_reg, c_reg):
+        """Solver-ready KKT with regularization applied (re-assemblable
+        cheaply for the inertia-correction retry loop)."""
+
+    @abc.abstractmethod
+    def kkt_rhs(self, data):
+        """The rhs evaluated by eval_kkt_data."""
+
+    @abc.abstractmethod
+    def extract_deltas(self, state, sol, barrier) -> "IPState":
+        """Demultiplex the KKT solution into the 8 delta families,
+        including the closed-form bound-dual deltas."""
+
+    @abc.abstractmethod
+    def fraction_to_the_boundary(self, state, deltas, tau) -> Tuple:
+        """(alpha_primal_max, alpha_dual_max)."""
+
+    @abc.abstractmethod
+    def apply_step(self, state, deltas, alpha_primal, alpha_dual, alpha=1.0):
+        """state + alpha * deltas (per-family step sizes)."""
+
+    @property
+    @abc.abstractmethod
+    def expected_neg_eig(self) -> int:
+        """Target number of negative KKT eigenvalues (constraint rows,
+        including padding rows)."""
+
+    # objective scaling (reference interface.py:302-306)
+    obj_factor: float = 1.0
+
+    def set_obj_factor(self, obj_factor: float) -> None:
+        self.obj_factor = obj_factor
+
+    def get_obj_factor(self) -> float:
+        return self.obj_factor
 
 
 @jax.tree_util.register_dataclass

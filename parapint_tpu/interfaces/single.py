@@ -49,7 +49,7 @@ class KKTData:
     rhs: jax.Array  # (nk,)
 
 
-class InteriorPointInterface:
+class InteriorPointInterface(base.BaseInteriorPointInterface):
     """Interface for a single :class:`NLPModel`."""
 
     def __init__(self, model: NLPModel, obj_factor: float = 1.0):

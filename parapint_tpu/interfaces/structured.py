@@ -32,7 +32,7 @@ from parapint_tpu.interfaces.blocked import (
 from parapint_tpu.linalg.schur import BlockRhs, LocalBlockKKT
 
 
-class StructuredSCInterface:
+class StructuredSCInterface(base.BaseInteriorPointInterface):
     """Shared implementation; see module docstring.
 
     Subclass responsibilities (before calling ``_finalize``):
