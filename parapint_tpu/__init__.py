@@ -51,6 +51,7 @@ from parapint_tpu.linalg import (
     DenseLUSolver,
     SchurComplementSolver,
     ShardedSchurComplementSolver,
+    PCGSchurComplementSolver,
 )
 from parapint_tpu.models import NLPModel
 from parapint_tpu.interfaces import (
@@ -81,6 +82,7 @@ __all__ = [
     "DenseLUSolver",
     "SchurComplementSolver",
     "ShardedSchurComplementSolver",
+    "PCGSchurComplementSolver",
     "NLPModel",
     "InteriorPointInterface",
     "DynamicSchurComplementInteriorPointInterface",
