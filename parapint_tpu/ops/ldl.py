@@ -65,6 +65,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _panel_factor(Akk: jax.Array) -> jax.Array:
+    """Base-case panel factorization, dispatched to the Pallas VMEM-resident
+    kernel on TPU (ops/pallas_ldl.py) and the pure-XLA loop elsewhere."""
+    from parapint_tpu.ops import pallas_ldl
+
+    if pallas_ldl.available():
+        return pallas_ldl.ldl_panels(Akk[None])[0]
+    return _ldl_unblocked(Akk)
+
+
 def unit_lower_inv(L: jax.Array) -> jax.Array:
     """Inverse of a unit lower-triangular matrix via Neumann doubling.
 
@@ -225,7 +235,7 @@ def ldl_factor(A: jax.Array, block_size: int = 128):
     def outer(k, A):
         off = k * bs
         Akk = lax.dynamic_slice(A, (off, off), (bs, bs))
-        Akk_f = _ldl_unblocked(Akk)
+        Akk_f = _panel_factor(Akk)
         dk = jnp.diagonal(Akk_f)
         Lkk = jnp.tril(Akk_f, -1) + jnp.eye(bs, dtype=A.dtype)
         # full-height column panel; rows strictly below the diagonal block

@@ -1,0 +1,78 @@
+"""Pallas TPU kernel for the LDL^T base-case panel factorization.
+
+The blocked LDL^T (ops/ldl.py) reduces to: per 128x128 diagonal panel, a
+sequential loop of 128 rank-1 updates.  In pure XLA each step round-trips
+the whole panel through HBM (the loop-carried buffer), costing ~60us/step;
+this kernel keeps the panel resident in VMEM for all 128 steps, so the
+entire batched base-case factorization is one kernel launch with one
+HBM read + one write per panel.
+
+The kernel factors a batch of (b, b) symmetric blocks in packed form:
+strict lower triangle = unit-lower L, diagonal = D (garbage above), exactly
+matching ops.ldl._ldl_unblocked.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+def _panel_kernel(a_ref, out_ref):
+    b = a_ref.shape[-1]
+    A = a_ref[0]
+    row_ids = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+
+    def body(j, A):
+        col = lax.dynamic_slice_in_dim(A, j, 1, axis=1)  # (b, 1)
+        piv = lax.dynamic_slice(col, (j, 0), (1, 1))
+        piv_safe = jnp.where(jnp.abs(piv) > 0, piv, 1.0)
+        below = row_ids > j
+        l = jnp.where(below, col / piv_safe, 0.0)
+        newcol = jnp.where(below, l, col)
+        A = lax.dynamic_update_slice_in_dim(A, newcol, j, axis=1)
+        colmask = jnp.where(below, col, 0.0)
+        return A - l * colmask.T
+
+    out_ref[0] = lax.fori_loop(0, b, body, A, unroll=8)
+
+
+def available() -> bool:
+    if not _HAS_PLTPU:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ldl_panels(A: jax.Array, interpret: bool = False) -> jax.Array:
+    """Factor a batch of symmetric panels: (B, b, b) -> packed (B, b, b).
+
+    One grid step per panel; the panel stays in VMEM for the whole
+    factorization loop.
+    """
+    B, b, b2 = A.shape
+    assert b == b2
+    return pl.pallas_call(
+        _panel_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, b, b), A.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(A)
