@@ -194,6 +194,9 @@ class DynamicSchurComplementInteriorPointInterface(StructuredSCInterface):
                 row_idx[i, ns:] = i * ns + np.arange(ns)
         self.row_idx = jnp.asarray(row_idx)
 
+        # time-chain topology: the SC is block-tridiagonal; use the
+        # scatter-free assembly (see LocalBlockKKT.assembly)
+        self.sc_assembly = "chain"
         self._finalize(mesh=mesh, axis_name=axis_name)
 
     # -- dynamic-specific accessors -----------------------------------------

@@ -144,6 +144,8 @@ class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
             np.broadcast_to(np.arange(L, dtype=np.int32), (N, L)).copy()
         )
 
+        # every scenario links the same coupling rows 0..L-1: plain sum
+        self.sc_assembly = "shared"
         self._finalize(mesh=mesh, axis_name=axis_name)
 
     # -- stochastic-specific accessors --------------------------------------

@@ -49,6 +49,8 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
     def _finalize(self, mesh=None, axis_name: str = "blocks"):
         self.mesh = mesh
         self.axis_name = axis_name
+        if not hasattr(self, "sc_assembly"):
+            self.sc_assembly = "scatter"
         (
             self.off_x,
             self.off_s,
@@ -400,6 +402,7 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             border_loc=self._shard_blocks(self.border_loc),
             row_idx=self._shard_blocks(self.row_idx),
             q=q,
+            assembly=self.sc_assembly,
         )
 
     def kkt_rhs(self, data_and_rhs) -> BlockRhs:

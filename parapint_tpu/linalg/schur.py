@@ -35,6 +35,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from parapint_tpu.linalg.base import LinearSolver
 from parapint_tpu.linalg.dense import DenseLDLSolver
@@ -99,9 +100,18 @@ class LocalBlockKKT:
     row_idx: jax.Array
     q: jax.Array
     mask: jax.Array
+    # SC assembly topology (static):
+    #  - "scatter": generic scatter-add through row_idx
+    #  - "shared":  every block has row_idx == arange(L) (scenario structure):
+    #               the SC contribution is a plain sum over blocks
+    #  - "chain":   L = 2*ns with rows [bwd(ns), fwd(ns)], block i coupling
+    #               to groups (i-1, i) (time-block structure): the SC is
+    #               block-tridiagonal and is assembled from quadrant tiles
+    #               with no scatter
+    assembly: str = dataclasses.field(metadata=dict(static=True), default="scatter")
 
     @staticmethod
-    def make(diag, border_loc, row_idx, q, mask=None) -> "LocalBlockKKT":
+    def make(diag, border_loc, row_idx, q, mask=None, assembly="scatter") -> "LocalBlockKKT":
         if mask is None:
             mask = jnp.ones(diag.shape[0], dtype=diag.dtype)
         return LocalBlockKKT(
@@ -110,6 +120,7 @@ class LocalBlockKKT:
             row_idx=jnp.asarray(row_idx, dtype=jnp.int32),
             q=q,
             mask=mask,
+            assembly=assembly,
         )
 
 
@@ -247,23 +258,74 @@ def _scatter_sc(S_loc, row_idx, nc: int):
     return out[:nc, :nc]
 
 
-def _sc_contribution_local(LD, border_loc, row_idx, nc: int):
-    """sum_i P_i (A_i K_i^{-1} A_i^T) P_i^T via batched solve + scatter-add.
+def _assemble_sc(S_loc, row_idx, nc: int, assembly: str, group_offset=None):
+    """Place per-block local SC contributions (N, L, L) into the global
+    (nc, nc) Schur complement.
 
-    Local rows scatter into global SC rows through ``row_idx``; masked rows
-    point at the dump index nc (sliced off).
+    "scatter" works for any topology; "shared" and "chain" are scatter-free
+    specializations (TPU scatters serialize) for the two structures the
+    interfaces produce — see LocalBlockKKT.assembly.
+    """
+    if assembly == "shared":
+        # every block's rows target coupling rows 0..L-1 directly
+        return jnp.sum(S_loc, axis=0)
+    if assembly == "chain":
+        Nb, L, _ = S_loc.shape
+        ns = L // 2
+        if ns == 0 or nc % max(ns, 1) != 0:
+            return _scatter_sc(S_loc, row_idx, nc)
+        ng = nc // ns  # number of coupling groups (global blocks - 1)
+        dt = S_loc.dtype
+        # quadrants: rows/cols [bwd -> c_{i-1} | fwd -> c_i]
+        bb = S_loc[:, :ns, :ns]
+        bf = S_loc[:, :ns, ns:]
+        ff = S_loc[:, ns:, ns:]
+        off = group_offset if group_offset is not None else 0
+
+        def place(tiles, start):
+            # tiles for global tile-rows [start, start+Nb); out-of-range
+            # writes land in the sacrificial border rows (their tiles are
+            # zero by the link masks)
+            out = jnp.zeros((ng + 2, ns, ns), dtype=dt)
+            idx = jnp.asarray(start + 1, dtype=jnp.int32)
+            zero = jnp.int32(0)
+            out = lax.dynamic_update_slice(out, tiles, (idx, zero, zero))
+            return out[1 : ng + 1]
+
+        # S tile-diag[g] = ff[block g] + bb[block g+1];
+        # S tile-upper[g] (c_g, c_{g+1}) = bf[block g+1]; lower = upper^T
+        diag_tiles = place(ff, off) + place(bb, off - 1)
+        upper_tiles = place(bf, off - 1)
+        eye = jnp.eye(ng, dtype=dt)
+        up = jnp.eye(ng, k=1, dtype=dt)
+        Sd = jnp.einsum("gij,gh->gihj", diag_tiles, eye)
+        Su = jnp.einsum("gij,gh->gihj", upper_tiles, up)
+        S = (Sd + Su).reshape(nc, nc)
+        return S + Su.reshape(nc, nc).T
+    return _scatter_sc(S_loc, row_idx, nc)
+
+
+def _sc_contribution_local(
+    LD, border_loc, row_idx, nc: int, assembly: str = "scatter", group_offset=None
+):
+    """sum_i P_i (A_i K_i^{-1} A_i^T) P_i^T via batched solve + assembly.
+
+    Local rows map to global SC rows through ``row_idx`` (masked rows point
+    at the dump index nc) or through the structured assembly modes.
     """
     V = jax.vmap(lambda ld, a: ldl_solve(ld, a.T))(LD, border_loc)  # (N, nk, L)
     S_loc = jnp.einsum(
         "bli,bik->blk", border_loc, V, preferred_element_type=border_loc.dtype
     )  # (N, L, L)
-    return _scatter_sc(S_loc, row_idx, nc)
+    return _assemble_sc(S_loc, row_idx, nc, assembly, group_offset)
 
 
-def _sc_contribution_local_winv(W, d, s, border_loc, row_idx, nc: int):
-    """W-mode local-border SC contribution: all matmuls + scatter-add."""
+def _sc_contribution_local_winv(
+    W, d, s, border_loc, row_idx, nc: int, assembly: str = "scatter", group_offset=None
+):
+    """W-mode local-border SC contribution: all matmuls + assembly."""
     S_loc = _winv_multi(W, d, s, jnp.swapaxes(border_loc, 1, 2))  # (N, L, L)
-    return _scatter_sc(S_loc, row_idx, nc)
+    return _assemble_sc(S_loc, row_idx, nc, assembly, group_offset)
 
 
 def _border_apply_local(border_loc, row_idx, v, nc: int):
@@ -382,7 +444,7 @@ class SchurComplementSolver(LinearSolver):
             LD = None
             if local:
                 contrib = _sc_contribution_local_winv(
-                    W, d, s, kkt.border_loc, kkt.row_idx, nc
+                    W, d, s, kkt.border_loc, kkt.row_idx, nc, kkt.assembly
                 )
             else:
                 contrib = _sc_contribution_winv(W, d, s, kkt.border, kkt.mask)
@@ -394,7 +456,7 @@ class SchurComplementSolver(LinearSolver):
             )
             if local:
                 sc = kkt.q - _sc_contribution_local(
-                    LD, kkt.border_loc, kkt.row_idx, nc
+                    LD, kkt.border_loc, kkt.row_idx, nc, kkt.assembly
                 )
             else:
                 sc = _form_sc(LD, kkt.border, kkt.q, kkt.mask)

@@ -123,8 +123,12 @@ class ShardedSchurComplementSolver(LinearSolver):
         ax = self.axis_name
         local = isinstance(kkt, LocalBlockKKT)
         nc = kkt.q.shape[-1]
+        assembly = kkt.assembly if local else "scatter"
 
         def _numeric(diag, border, row_idx, q, mask):
+            # contiguous block sharding: this shard owns global blocks
+            # [offset, offset + local_N)
+            offset = jax.lax.axis_index(ax) * diag.shape[0]
             # local shard: batched LDL^T (or explicit W = L^{-1}) of owned blocks
             if self.explicit_inverse:
                 W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
@@ -133,7 +137,7 @@ class ShardedSchurComplementSolver(LinearSolver):
                 fac = (W, d, s)
                 if local:
                     contrib = _sc_contribution_local_winv(
-                        W, d, s, border, row_idx, nc
+                        W, d, s, border, row_idx, nc, assembly, offset
                     )
                 else:
                     contrib = _sc_contribution_winv(W, d, s, border, mask)
@@ -144,7 +148,9 @@ class ShardedSchurComplementSolver(LinearSolver):
                 )
                 fac = (fac, jnp.zeros(0), jnp.zeros(0))
                 if local:
-                    contrib = _sc_contribution_local(fac[0], border, row_idx, nc)
+                    contrib = _sc_contribution_local(
+                        fac[0], border, row_idx, nc, assembly, offset
+                    )
                 else:
                     contrib = _sc_contribution(fac[0], border, mask)
             # S = Q - psum_i A_i K_i^{-1} A_i^T  (ICI all-reduce;

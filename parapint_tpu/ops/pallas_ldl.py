@@ -29,21 +29,24 @@ except Exception:  # pragma: no cover
 
 def _panel_kernel(a_ref, out_ref):
     b = a_ref.shape[-1]
-    A = a_ref[0]
+    out_ref[0] = a_ref[0]
     row_ids = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
 
-    def body(j, A):
-        col = lax.dynamic_slice_in_dim(A, j, 1, axis=1)  # (b, 1)
-        piv = lax.dynamic_slice(col, (j, 0), (1, 1))
+    def body(j, _):
+        # Mosaic supports dynamic indexing on refs (pl.ds), not on values
+        col = out_ref[0, :, pl.ds(j, 1)]  # (b, 1), current column
+        piv = out_ref[0, pl.ds(j, 1), pl.ds(j, 1)]  # (1, 1)
         piv_safe = jnp.where(jnp.abs(piv) > 0, piv, 1.0)
         below = row_ids > j
         l = jnp.where(below, col / piv_safe, 0.0)
-        newcol = jnp.where(below, l, col)
-        A = lax.dynamic_update_slice_in_dim(A, newcol, j, axis=1)
+        out_ref[0, :, pl.ds(j, 1)] = jnp.where(below, l, col)
+        # trailing rank-1 update; column j itself is untouched because
+        # colmask vanishes at rows <= j
         colmask = jnp.where(below, col, 0.0)
-        return A - l * colmask.T
+        out_ref[0] = out_ref[0] - l * colmask.T
+        return 0
 
-    out_ref[0] = lax.fori_loop(0, b, body, A, unroll=8)
+    lax.fori_loop(0, b, body, 0, unroll=1)
 
 
 def available() -> bool:
