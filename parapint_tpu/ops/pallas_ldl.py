@@ -28,25 +28,25 @@ except Exception:  # pragma: no cover
 
 
 def _panel_kernel(a_ref, out_ref):
+    # Fully unrolled with static slices: Mosaic does not lower dynamic
+    # lane-dimension indexing, and a static unroll keeps the whole panel in
+    # vector registers/VMEM as one dataflow graph.
     b = a_ref.shape[-1]
-    out_ref[0] = a_ref[0]
+    A = a_ref[0]
     row_ids = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
-
-    def body(j, _):
-        # Mosaic supports dynamic indexing on refs (pl.ds), not on values
-        col = out_ref[0, :, pl.ds(j, 1)]  # (b, 1), current column
-        piv = out_ref[0, pl.ds(j, 1), pl.ds(j, 1)]  # (1, 1)
-        piv_safe = jnp.where(jnp.abs(piv) > 0, piv, 1.0)
-        below = row_ids > j
-        l = jnp.where(below, col / piv_safe, 0.0)
-        out_ref[0, :, pl.ds(j, 1)] = jnp.where(below, l, col)
-        # trailing rank-1 update; column j itself is untouched because
-        # colmask vanishes at rows <= j
-        colmask = jnp.where(below, col, 0.0)
-        out_ref[0] = out_ref[0] - l * colmask.T
-        return 0
-
-    lax.fori_loop(0, b, body, 0, unroll=1)
+    cols = []
+    for j in range(b):
+        col = A[:, j : j + 1]  # (b, 1)
+        piv = col[j : j + 1, :]  # (1, 1)
+        piv_safe = jnp.where(jnp.abs(piv) > 0, piv, jnp.ones_like(piv))
+        # keep index scalars int32: under jax_enable_x64 a Python int would
+        # promote the comparison to int64, which Mosaic cannot lower
+        below = row_ids > jnp.int32(j)
+        l = jnp.where(below, col / piv_safe, jnp.zeros_like(col))
+        cols.append(jnp.where(below, l, col))
+        colmask = jnp.where(below, col, jnp.zeros_like(col))
+        A = A - l * colmask.T
+    out_ref[0] = jnp.concatenate(cols, axis=1)
 
 
 def available() -> bool:
@@ -63,19 +63,22 @@ def ldl_panels(A: jax.Array, interpret: bool = False) -> jax.Array:
     """Factor a batch of symmetric panels: (B, b, b) -> packed (B, b, b).
 
     One grid step per panel; the panel stays in VMEM for the whole
-    factorization loop.
+    factorization loop.  Traced with x64 disabled: Mosaic cannot lower the
+    int64 index types that jax_enable_x64 (which the package enables
+    globally) would introduce.
     """
     B, b, b2 = A.shape
     assert b == b2
-    return pl.pallas_call(
-        _panel_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, b, b), A.dtype),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(A)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _panel_kernel,
+            out_shape=jax.ShapeDtypeStruct((B, b, b), A.dtype),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(A)
