@@ -18,6 +18,10 @@ from parapint_tpu.interfaces.stochastic import (
     StochasticModelSpec,
     StochasticSchurComplementInteriorPointInterface,
 )
+from parapint_tpu.interfaces.heterogeneous import (
+    KindSpec,
+    HeterogeneousDynamicInterface,
+)
 
 __all__ = [
     "IPState",
@@ -27,4 +31,6 @@ __all__ = [
     "DynamicSchurComplementInteriorPointInterface",
     "StochasticModelSpec",
     "StochasticSchurComplementInteriorPointInterface",
+    "KindSpec",
+    "HeterogeneousDynamicInterface",
 ]
