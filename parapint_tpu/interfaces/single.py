@@ -89,6 +89,21 @@ class InteriorPointInterface(base.BaseInteriorPointInterface):
     def evaluate_objective(self):
         return self.fns.f(self._current_state.primals)
 
+    def get_slacks(self) -> jax.Array:
+        return self._current_state.slacks
+
+    def get_duals_primals_lb(self) -> jax.Array:
+        return self._current_state.duals_primals_lb
+
+    def get_duals_primals_ub(self) -> jax.Array:
+        return self._current_state.duals_primals_ub
+
+    def get_duals_slacks_lb(self) -> jax.Array:
+        return self._current_state.duals_slacks_lb
+
+    def get_duals_slacks_ub(self) -> jax.Array:
+        return self._current_state.duals_slacks_ub
+
     def n_primals(self) -> int:
         return self.n_x
 

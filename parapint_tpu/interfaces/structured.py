@@ -126,6 +126,30 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         x = self._current_state.primals["blocks"]
         return self.fns.total_objective(x, self.params, self.x_mask)
 
+    def get_slacks(self):
+        return self._current_state.slacks
+
+    def get_duals_eq(self):
+        """{"own": (N, me), "link": (N, n_link)} (the reference's 3-block
+        eq-dual structure, sc_ip_interface.py:700-716, with both link
+        families in "link")."""
+        return self._current_state.duals_eq
+
+    def get_duals_ineq(self):
+        return self._current_state.duals_ineq
+
+    def get_duals_primals_lb(self):
+        return self._current_state.duals_primals_lb
+
+    def get_duals_primals_ub(self):
+        return self._current_state.duals_primals_ub
+
+    def get_duals_slacks_lb(self):
+        return self._current_state.duals_slacks_lb
+
+    def get_duals_slacks_ub(self):
+        return self._current_state.duals_slacks_ub
+
     # -- bounds ------------------------------------------------------------
 
     def get_bounds_relaxation_factor(self) -> float:
