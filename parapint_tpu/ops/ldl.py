@@ -67,10 +67,11 @@ def _round_up(x: int, m: int) -> int:
 
 def _panel_factor(Akk: jax.Array) -> jax.Array:
     """Base-case panel factorization, dispatched to the Pallas VMEM-resident
-    kernel on TPU (ops/pallas_ldl.py) and the pure-XLA loop elsewhere."""
+    kernel on TPU (ops/pallas_ldl.py) and the pure-XLA loop elsewhere.
+    Pallas path is f32-only: Mosaic does not lower f64 vectors."""
     from parapint_tpu.ops import pallas_ldl
 
-    if pallas_ldl.available():
+    if Akk.dtype == jnp.float32 and pallas_ldl.available():
         return pallas_ldl.ldl_panels(Akk[None])[0]
     return _ldl_unblocked(Akk)
 
