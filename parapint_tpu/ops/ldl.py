@@ -114,18 +114,35 @@ def ruiz_scale(A: jax.Array, iters: int = 3) -> jax.Array:
     return s
 
 
-def unit_lower_inv_blocked(L: jax.Array, block_size: int = 128) -> jax.Array:
-    """Blocked inverse of a unit lower-triangular matrix.
+def _unit_lower_inv_rec(L: jax.Array, bs: int) -> jax.Array:
+    """Recursive unit-lower-triangular inverse with static halving:
 
-    Diagonal blocks are inverted with Neumann doubling (small, MXU-only);
-    off-diagonal blocks follow by block forward substitution
+        [L11  0 ]^-1   [ W11           0  ]
+        [L21 L22]    = [-W22 L21 W11  W22 ]
 
-        W[i, j] = -Wii @ sum_{k=j..i-1} L[i, k] W[k, j]
-
-    computed one block-row at a time as a single (b x ib) @ (ib x ib)
-    matmul.  Total cost ~n^3/3 multiply-adds — an order of magnitude less
-    than whole-matrix Neumann doubling — and everything is a matmul.
+    All slices static, all work matmuls; base case = Neumann doubling.
+    O(n^2 log n) memory traffic (vs O(n^2 * n/bs) for a block-column sweep).
     """
+    n = L.shape[-1]
+    if n <= bs:
+        return unit_lower_inv(L)
+    h = ((n // 2 + bs - 1) // bs) * bs
+    if h >= n:
+        h = n - bs
+    W11 = _unit_lower_inv_rec(L[:h, :h], bs)
+    W22 = _unit_lower_inv_rec(L[h:, h:], bs)
+    W21 = -jnp.matmul(
+        W22,
+        jnp.matmul(L[h:, :h], W11, preferred_element_type=L.dtype),
+        preferred_element_type=L.dtype,
+    )
+    top = jnp.concatenate([W11, jnp.zeros((h, n - h), dtype=L.dtype)], axis=1)
+    bottom = jnp.concatenate([W21, W22], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def unit_lower_inv_blocked(L: jax.Array, block_size: int = 128) -> jax.Array:
+    """Inverse of a unit lower-triangular matrix (recursive halving)."""
     n = L.shape[-1]
     bs = min(block_size, n)
     if n % bs != 0:
@@ -139,22 +156,7 @@ def unit_lower_inv_blocked(L: jax.Array, block_size: int = 128) -> jax.Array:
         )
         L = jnp.where(eye_pad, 1.0, L)
         return unit_lower_inv_blocked(L, bs)[:n, :n]
-    nb = n // bs
-    if nb == 1:
-        return unit_lower_inv(L)
-    # invert all diagonal blocks (batched Neumann doubling)
-    diag_blocks = jnp.stack([L[i * bs : (i + 1) * bs, i * bs : (i + 1) * bs] for i in range(nb)])
-    wdiag = jax.vmap(unit_lower_inv)(diag_blocks)
-    W = jnp.zeros_like(L)
-    for i in range(nb):
-        W = W.at[i * bs : (i + 1) * bs, i * bs : (i + 1) * bs].set(wdiag[i])
-    for i in range(1, nb):
-        row = L[i * bs : (i + 1) * bs, : i * bs]  # (b, ib)
-        acc = jnp.matmul(row, W[: i * bs, : i * bs], preferred_element_type=L.dtype)
-        W = W.at[i * bs : (i + 1) * bs, : i * bs].set(
-            -jnp.matmul(wdiag[i], acc, preferred_element_type=L.dtype)
-        )
-    return W
+    return _unit_lower_inv_rec(L, bs)
 
 
 def ldl_winv(LD: jax.Array, block_size: int = 128):
@@ -201,6 +203,40 @@ def ldl_inverse(LD: jax.Array, d: jax.Array) -> jax.Array:
     )
 
 
+def _ldl_recursive(A: jax.Array, bs: int) -> jax.Array:
+    """Recursive packed LDL^T with static halving.
+
+    Every level splits at a block-size multiple: all slices are static, the
+    trailing update is one static-shape matmul per level, and total memory
+    traffic is O(n^2 log n) — unlike a panel loop, which rewrites the whole
+    loop-carried matrix once per panel (O(n^2 * n/bs) traffic; the dominant
+    cost in practice on TPU).
+    """
+    n = A.shape[-1]
+    if n <= bs:
+        return _panel_factor(A)
+    # split at a block-size multiple near the middle
+    h = ((n // 2 + bs - 1) // bs) * bs
+    if h >= n:
+        h = n - bs
+    A11 = A[:h, :h]
+    A21 = A[h:, :h]
+    A22 = A[h:, h:]
+    F11 = _ldl_recursive(A11, bs)
+    d1 = jnp.diagonal(F11)
+    L11 = jnp.tril(F11, -1) + jnp.eye(h, dtype=A.dtype)
+    W11 = _unit_lower_inv_rec(L11, bs)
+    # X = A21 L11^{-T} = L21 D1 ; L21 = X D1^{-1}
+    X = jnp.matmul(A21, W11.T, preferred_element_type=A.dtype)
+    d1_safe = jnp.where(jnp.abs(d1) > 0, d1, 1.0)
+    L21 = X / d1_safe[None, :]
+    A22u = A22 - jnp.matmul(L21, X.T, preferred_element_type=A.dtype)
+    F22 = _ldl_recursive(A22u, bs)
+    top = jnp.concatenate([F11, jnp.zeros((h, n - h), dtype=A.dtype)], axis=1)
+    bottom = jnp.concatenate([L21, F22], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def ldl_factor(A: jax.Array, block_size: int = 128):
     """Factor symmetric ``A`` (n, n) as L D L^T (unpivoted, 1x1 pivots).
@@ -229,40 +265,8 @@ def ldl_factor(A: jax.Array, block_size: int = 128):
             pad_ids >= n, pad_ids == lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
         )
         A = jnp.where(eye_pad, 1.0, A)
-    bs = block_size
-    nb = npad // bs
-    row_ids = lax.broadcasted_iota(jnp.int32, (npad, 1), 0)
-
-    def outer(k, A):
-        off = k * bs
-        Akk = lax.dynamic_slice(A, (off, off), (bs, bs))
-        Akk_f = _panel_factor(Akk)
-        dk = jnp.diagonal(Akk_f)
-        Lkk = jnp.tril(Akk_f, -1) + jnp.eye(bs, dtype=A.dtype)
-        # full-height column panel; rows strictly below the diagonal block
-        P = lax.dynamic_slice(A, (0, off), (npad, bs))
-        below = row_ids >= off + bs  # (npad, 1)
-        # X = P_below @ Lkk^{-T}  (X holds L_panel * D_k).  The panel
-        # triangular solve is done by explicit small-inverse matmul
-        # (unit_lower_inv) — MXU-friendly, unlike XLA's triangular_solve.
-        X = jnp.matmul(
-            P, unit_lower_inv(Lkk).T, preferred_element_type=A.dtype
-        )
-        X = jnp.where(below, X, 0.0)
-        dk_safe = jnp.where(jnp.abs(dk) > 0, dk, 1.0)
-        Lpan = X / dk_safe[None, :]
-        # write the factored diagonal block and the panel back into A
-        newcols = jnp.where(below, Lpan, P)
-        newcols = lax.dynamic_update_slice(newcols, Akk_f, (off, 0))
-        A = lax.dynamic_update_slice(A, newcols, (0, off))
-        # trailing update (MXU): A -= L_pan D L_pan^T; both operands are
-        # masked to rows >= off+bs so the update only touches the trailing
-        # submatrix.
-        A = A - jnp.matmul(Lpan, X.T, preferred_element_type=A.dtype)
-        return A
-
-    A = lax.fori_loop(0, nb, outer, A)
-    return A, jnp.diagonal(A)
+    LD = _ldl_recursive(A, block_size)
+    return LD, jnp.diagonal(LD)
 
 
 @jax.jit
