@@ -74,7 +74,8 @@ def measure_ours(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS, tol=TOL):
     interface.set_bounds_relaxation_factor(options.bounds_relaxation_factor)
     state0 = interface.init_state()
 
-    # run 1: compile + solve; run 2: timed
+    # run 1: compile + solve; then best of 3 warm runs (the remote execution
+    # path has multi-ms jitter)
     result = solve(state0)
     status = int(result.status)
     n_iter = int(result.iterations)
@@ -85,10 +86,12 @@ def measure_ours(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS, tol=TOL):
         float(result.dual_inf),
         float(result.compl_inf),
     )
-    t0 = time.time()
-    result = solve(state0)
-    n_iter = int(result.iterations)  # forces completion
-    wall = time.time() - t0
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        result = solve(state0)
+        n_iter = int(result.iterations)  # forces completion
+        wall = min(wall, time.time() - t0)
     steps = max(1, n_iter - 1)  # final iteration is the terminating check
     return steps / wall, n_iter, wall
 

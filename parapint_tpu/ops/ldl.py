@@ -237,8 +237,43 @@ def _ldl_recursive(A: jax.Array, bs: int) -> jax.Array:
     return jnp.concatenate([top, bottom], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
-def ldl_factor(A: jax.Array, block_size: int = 128):
+def _ldl_fori(A: jax.Array, bs: int) -> jax.Array:
+    """Right-looking panel-loop LDL^T (lax.fori_loop over panels).
+
+    Measured faster end-to-end than the recursive form on TPU: XLA pipelines
+    the loop body well and the full-width trailing updates stay on the MXU.
+    """
+    npad = A.shape[-1]
+    nb = npad // bs
+    row_ids = lax.broadcasted_iota(jnp.int32, (npad, 1), 0)
+
+    def outer(k, A):
+        off = k * bs
+        Akk = lax.dynamic_slice(A, (off, off), (bs, bs))
+        Akk_f = _panel_factor(Akk)
+        dk = jnp.diagonal(Akk_f)
+        Lkk = jnp.tril(Akk_f, -1) + jnp.eye(bs, dtype=A.dtype)
+        # full-height column panel; rows strictly below the diagonal block
+        P = lax.dynamic_slice(A, (0, off), (npad, bs))
+        below = row_ids >= off + bs  # (npad, 1)
+        # X = P_below @ Lkk^{-T}  (X holds L_panel * D_k); panel solve via
+        # explicit small inverse (MXU), not XLA's triangular_solve
+        X = jnp.matmul(P, unit_lower_inv(Lkk).T, preferred_element_type=A.dtype)
+        X = jnp.where(below, X, 0.0)
+        dk_safe = jnp.where(jnp.abs(dk) > 0, dk, 1.0)
+        Lpan = X / dk_safe[None, :]
+        newcols = jnp.where(below, Lpan, P)
+        newcols = lax.dynamic_update_slice(newcols, Akk_f, (off, 0))
+        A = lax.dynamic_update_slice(A, newcols, (0, off))
+        # trailing update (MXU); operands masked below the panel
+        A = A - jnp.matmul(Lpan, X.T, preferred_element_type=A.dtype)
+        return A
+
+    return lax.fori_loop(0, nb, outer, A)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "algorithm"))
+def ldl_factor(A: jax.Array, block_size: int = 128, algorithm: str = "fori"):
     """Factor symmetric ``A`` (n, n) as L D L^T (unpivoted, 1x1 pivots).
 
     Parameters
@@ -246,6 +281,9 @@ def ldl_factor(A: jax.Array, block_size: int = 128):
     A: (n, n) symmetric array.  Only the lower triangle is referenced
        logically, but the full (symmetric) matrix should be supplied.
     block_size: panel width.  128 matches the TPU lane width/MXU tile.
+    algorithm: "fori" (panel loop; default, fastest measured on TPU) or
+        "recursive" (static halving; less memory traffic on paper, but the
+        pipelined panel loop wins end-to-end).
 
     Returns
     -------
@@ -265,7 +303,10 @@ def ldl_factor(A: jax.Array, block_size: int = 128):
             pad_ids >= n, pad_ids == lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
         )
         A = jnp.where(eye_pad, 1.0, A)
-    LD = _ldl_recursive(A, block_size)
+    if algorithm == "recursive":
+        LD = _ldl_recursive(A, block_size)
+    else:
+        LD = _ldl_fori(A, block_size)
     return LD, jnp.diagonal(LD)
 
 
