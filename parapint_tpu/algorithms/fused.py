@@ -104,9 +104,19 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
         )
         return fact, ok, used
 
+    # interfaces exposing eval_ad share one AD sweep between the convergence
+    # check and the KKT assembly (saves a full gradient+Jacobian evaluation
+    # per iteration)
+    shared_ad = hasattr(interface, "eval_ad")
+
     def one_iteration(carry):
         state, mu, inertia_coef, it, done, status, diags = carry
-        info = interface.convergence_info(state, mu, error_scaling)
+        if shared_ad:
+            ad = interface.eval_ad(state)
+            info = interface.convergence_from_ad(state, ad, mu, error_scaling)
+        else:
+            ad = None
+            info = interface.convergence_info(state, mu, error_scaling)
         err0 = jnp.maximum(
             info.primal_inf, jnp.maximum(info.dual_inf, info.compl_inf_0)
         )
@@ -124,7 +134,10 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
 
         def do_step(args):
             state, mu = args
-            data = interface.eval_kkt_data(state, mu)
+            if shared_ad:
+                data = interface.kkt_from_ad(state, ad, mu)
+            else:
+                data = interface.eval_kkt_data(state, mu)
             fact, ok, used = factor_with_inertia_correction(data, inertia_coef)
             sol = solver.solve(fact, interface.kkt_rhs(data))
             deltas = interface.extract_deltas(state, sol, mu)

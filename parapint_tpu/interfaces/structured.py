@@ -265,6 +265,62 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             )
         )
 
+    # -- shared AD evaluation (fused path) -----------------------------------
+
+    def eval_ad(self, state):
+        """One AD sweep per iteration: every derivative quantity both the
+        convergence check and the KKT assembly need.  The Python-loop
+        ip_solve keeps the reference's separate evaluations; the fused
+        solver shares this bundle between both consumers."""
+        fns = self.fns
+        x = state.primals["blocks"]
+        args = (x, self.params, self.x_mask)
+        return dict(
+            obj=fns.total_objective(*args),
+            grad_f=fns.grad_f(*args),
+            jac_eq=fns.jac_eq(*args, self.eq_mask),
+            jac_ineq=fns.jac_ineq(*args, self.ineq_mask),
+            c_eq=fns.c_eq(*args, self.eq_mask),
+            c_ineq=fns.c_ineq(*args, self.ineq_mask),
+            hess=fns.hess_lag(
+                x,
+                state.duals_eq["own"],
+                state.duals_ineq,
+                jnp.full(self.N, self.obj_factor),
+                self.params,
+                self.x_mask,
+                self.eq_mask,
+                self.ineq_mask,
+            ),
+        )
+
+    def convergence_from_ad(self, state, ad, barrier, error_scaling):
+        return self._convergence_core(
+            state,
+            self.bounds,
+            ad["obj"],
+            ad["grad_f"],
+            ad["jac_eq"],
+            ad["jac_ineq"],
+            ad["c_eq"],
+            ad["c_ineq"],
+            barrier,
+            error_scaling,
+        )
+
+    def kkt_from_ad(self, state, ad, barrier):
+        return self._kkt_core(
+            state,
+            self.bounds,
+            ad["hess"],
+            ad["grad_f"],
+            ad["jac_eq"],
+            ad["jac_ineq"],
+            ad["c_eq"],
+            ad["c_ineq"],
+            barrier,
+        )
+
     # -- convergence ---------------------------------------------------------
 
     def convergence_info(self, state, barrier, error_scaling=100.0) -> ConvergenceInfo:
@@ -273,13 +329,28 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
     def _convergence_info_impl(self, state, bounds, barrier, error_scaling):
         fns = self.fns
         x = state.primals["blocks"]
-        c = state.primals["coupling"]
         args = (x, self.params, self.x_mask)
-        grad_f = fns.grad_f(*args)
-        jac_eq = fns.jac_eq(*args, self.eq_mask)
-        jac_ineq = fns.jac_ineq(*args, self.ineq_mask)
-        eq_resid_own = fns.c_eq(*args, self.eq_mask)
-        ineq_resid = fns.c_ineq(*args, self.ineq_mask) - state.slacks
+        return self._convergence_core(
+            state,
+            bounds,
+            fns.total_objective(*args),
+            fns.grad_f(*args),
+            fns.jac_eq(*args, self.eq_mask),
+            fns.jac_ineq(*args, self.ineq_mask),
+            fns.c_eq(*args, self.eq_mask),
+            fns.c_ineq(*args, self.ineq_mask),
+            barrier,
+            error_scaling,
+        )
+
+    def _convergence_core(
+        self, state, bounds, obj, grad_f, jac_eq, jac_ineq, c_eq, c_ineq,
+        barrier, error_scaling,
+    ):
+        x = state.primals["blocks"]
+        c = state.primals["coupling"]
+        eq_resid_own = c_eq
+        ineq_resid = c_ineq - state.slacks
         link_resid = self._link_resid(x, c)
 
         glp_blocks = (
@@ -294,7 +365,7 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         )
 
         return base.convergence_metrics(
-            objective=fns.total_objective(*args),
+            objective=obj,
             grad_lag_primals=grad_lag_primals,
             grad_lag_slacks=grad_lag_slacks.reshape(-1),
             eq_resid=jnp.concatenate(
@@ -346,8 +417,6 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
     def _eval_kkt_data_impl(self, state, bounds, barrier):
         fns = self.fns
         x = state.primals["blocks"]
-        c = state.primals["coupling"]
-        s = state.slacks
         args = (x, self.params, self.x_mask)
         hess = fns.hess_lag(
             x,
@@ -359,8 +428,24 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             self.eq_mask,
             self.ineq_mask,
         )
-        jac_eq = fns.jac_eq(*args, self.eq_mask)
-        jac_ineq = fns.jac_ineq(*args, self.ineq_mask)
+        return self._kkt_core(
+            state,
+            bounds,
+            hess,
+            fns.grad_f(*args),
+            fns.jac_eq(*args, self.eq_mask),
+            fns.jac_ineq(*args, self.ineq_mask),
+            fns.c_eq(*args, self.eq_mask),
+            fns.c_ineq(*args, self.ineq_mask),
+            barrier,
+        )
+
+    def _kkt_core(
+        self, state, bounds, hess, grad_f, jac_eq, jac_ineq, c_eq, c_ineq, barrier
+    ):
+        x = state.primals["blocks"]
+        c = state.primals["coupling"]
+        s = state.slacks
         sigma_x = base.barrier_hessian_diag(
             x,
             bounds.xl["blocks"],
@@ -379,7 +464,6 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             sigma_s=self._shard_blocks(sigma_s),
         )
 
-        grad_f = fns.grad_f(*args)
         rhs_x = -(
             self._grad_lag_primals(state, jac_eq, jac_ineq, grad_f)
             + base.barrier_grad_term(
@@ -390,8 +474,8 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             -state.duals_ineq
             + base.barrier_grad_term(s, bounds.gl, bounds.gu, barrier)
         )
-        rhs_yeq = -fns.c_eq(*args, self.eq_mask)
-        rhs_yineq = -(fns.c_ineq(*args, self.ineq_mask) - s)
+        rhs_yeq = -c_eq
+        rhs_yineq = -(c_ineq - s)
         rhs_lam = -self._link_resid(x, c)
         rhs_blocks = jnp.concatenate(
             [rhs_x, rhs_s, rhs_yeq, rhs_yineq, rhs_lam], axis=1
