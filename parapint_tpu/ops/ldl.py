@@ -71,7 +71,13 @@ def _panel_factor(Akk: jax.Array) -> jax.Array:
     Pallas path is f32-only: Mosaic does not lower f64 vectors."""
     from parapint_tpu.ops import pallas_ldl
 
-    if Akk.dtype == jnp.float32 and pallas_ldl.available():
+    # b <= 128: larger panels exceed the kernel's VMEM budget (the unrolled
+    # dataflow keeps O(b) column intermediates live)
+    if (
+        Akk.dtype == jnp.float32
+        and Akk.shape[-1] <= 128
+        and pallas_ldl.available()
+    ):
         return pallas_ldl.ldl_panels(Akk[None])[0]
     return _ldl_unblocked(Akk)
 
