@@ -59,7 +59,7 @@ def main():
     import parapint_tpu as pt
     from parapint_tpu.examples import burgers
 
-    fast = dict(block_size=128, explicit_inverse=True, factor_dtype=jnp.float32)
+    fast = dict(block_size=128, explicit_inverse=True, factor_dtype=jnp.float32, refine_steps=0)
     configs = []
 
     def burgers_if(nfe_x, nfe_t, nblocks):

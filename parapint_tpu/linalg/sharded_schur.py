@@ -91,12 +91,13 @@ class ShardedSchurComplementSolver(LinearSolver):
         self.explicit_inverse = explicit_inverse
         self.factor_dtype = factor_dtype
         if refine_steps is None:
-            # With Ruiz equilibration the f32 factorization alone converges
-            # identically to the f64 path at tol 1e-8 on the test set, so
-            # mixed precision defaults to no refinement (the f64-emulated
-            # residual matvec is the single largest per-iteration cost).
-            # Raise to 1 for ill-conditioned problems if convergence stalls.
-            refine_steps = 0 if factor_dtype is not None else 1
+            # One f64 refinement pass is the safe default: well-conditioned
+            # problems (e.g. the Burgers benchmark) converge with
+            # refine_steps=0 too (the f64-emulated residual matvec is the
+            # single largest per-iteration cost, so 0 is ~40% faster per
+            # iteration), but LP-like problems have been observed to stall
+            # under TPU f32 matmul semantics without the refinement pass.
+            refine_steps = 1
         self.refine_steps = refine_steps if explicit_inverse else 0
         self.n_shards = mesh.shape[axis_name]
 
