@@ -127,7 +127,7 @@ def measure_reference_baseline(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS):
 
     # host timings are noisy (the TPU relay shares this host): take the
     # minimum of two repetitions of every timed section
-    def timed(fn, reps=2):
+    def timed(fn, reps=4):
         best = float("inf")
         out = None
         for _ in range(reps):
