@@ -138,3 +138,13 @@ def test_truly_ragged_dims():
     c = np.asarray(interface.get_coupling_values())
     assert np.isclose(xs[0, T], c[0], atol=1e-7)
     assert np.isclose(xs[1, 0], c[0], atol=1e-7)
+
+
+def test_heterogeneous_fused():
+    """The fused solver's shared-AD path must work with multi-kind families."""
+    het = build_heterogeneous(3)
+    options = pt.IPOptions()
+    options.linalg.solver = pt.SchurComplementSolver(block_size=8)
+    status, result = pt.ip_solve_fused(het, options)
+    assert status == pt.InteriorPointStatus.optimal
+    assert float(result.primal_inf) <= options.tol
