@@ -139,14 +139,25 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
             else:
                 data = interface.eval_kkt_data(state, mu)
             fact, ok, used = factor_with_inertia_correction(data, inertia_coef)
-            sol = solver.solve(fact, interface.kkt_rhs(data))
+            sol, solve_status = solver.solve_with_status(
+                fact, interface.kkt_rhs(data)
+            )
+            ok = jnp.logical_and(
+                ok, solve_status <= jnp.int32(LinearSolverStatus.warning)
+            )
             deltas = interface.extract_deltas(state, sol, mu)
             a_p, a_d = interface.fraction_to_the_boundary(state, deltas, 1.0 - mu)
             if options.unified_step:
                 a = jnp.minimum(a_p, a_d)
                 a_p = a
                 a_d = a
-            new_state = interface.apply_step(state, deltas, a_p, a_d)
+            stepped = interface.apply_step(state, deltas, a_p, a_d)
+            # on factorization/solve failure keep the incoming iterate: the
+            # error result then carries the last valid point (the Python
+            # ip_solve raises before stepping; this is the fused equivalent)
+            new_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), stepped, state
+            )
             next_coef = jnp.maximum(
                 jnp.asarray(ic.init_coef), used * ic.factor_decrease
             )

@@ -337,8 +337,20 @@ def ip_solve(
         timer.stop("factorize")
 
         timer.start("back solve")
-        delta_sol = solver.solve(fact, interface.kkt_rhs(data))
+        delta_sol, solve_status = solver.solve_with_status(
+            fact, interface.kkt_rhs(data)
+        )
+        solve_status = LinearSolverStatus(int(solve_status))
         timer.stop("back solve")
+        if solve_status not in {
+            LinearSolverStatus.successful,
+            LinearSolverStatus.warning,
+        }:
+            # iterative coupling solvers (PCG-SC) can fail per-solve even
+            # after a successful factorization; never step on such a solution
+            raise RuntimeError(
+                "Linear solver back solve failed; status: " + solve_status.name
+            )
 
         deltas = interface.extract_deltas(state, delta_sol, barrier_parameter)
 

@@ -53,6 +53,18 @@ class LinearSolver(ABC):
     def status(self, fact: Any) -> jax.Array:
         """Device int32 scalar holding a :class:`LinearSolverStatus` value."""
 
+    def solve_with_status(self, fact: Any, rhs: Any) -> Tuple[Any, jax.Array]:
+        """Back solve, returning ``(solution, status)``.
+
+        Direct factorizations always succeed once factored, so the default
+        returns the factorization status.  Iterative solvers (e.g. the PCG
+        Schur solver) override this to report *per-solve* failures —
+        non-convergence or negative curvature — as a device int32 status.
+        The IP drivers call this (not :meth:`solve`) so a failed iterative
+        solve can never be silently treated as a successful step.
+        """
+        return self.solve(fact, rhs), self.status(fact)
+
     def increase_memory_allocation(self, factor: float) -> None:
         """Reference protocol hook (base_linear_solver_interface.py:39).
 

@@ -47,6 +47,7 @@ from parapint_tpu.linalg.schur import (
     _winv_apply_batched,
     _winv_multi,
     _scatter_sc,
+    pad_block_count,
 )
 
 
@@ -99,15 +100,14 @@ class PCGSchurComplementSolver(LinearSolver):
     def symbolic(self, kkt: LocalBlockKKT) -> LinearSolverResults:
         if not isinstance(kkt, LocalBlockKKT):
             raise TypeError("PCGSchurComplementSolver requires a LocalBlockKKT")
-        if self.mesh is not None:
-            N = kkt.diag.shape[0]
-            if N % self.mesh.shape[self.axis_name] != 0:
-                raise ValueError("block count must divide the mesh axis size")
         return LinearSolverResults(status=LinearSolverStatus.successful)
 
     # -- numeric -----------------------------------------------------------
 
     def numeric(self, kkt: LocalBlockKKT) -> PCGSchurFactor:
+        if self.mesh is not None:
+            # non-divisible block counts pad with masked identity blocks
+            kkt = pad_block_count(kkt, self.mesh.shape[self.axis_name])
         nc = kkt.q.shape[-1]
 
         def _numeric(diag, border_loc, row_idx, q, mask):
@@ -210,7 +210,15 @@ class PCGSchurComplementSolver(LinearSolver):
         converged = jnp.linalg.norm(r) <= self.cg_tol * (1.0 + jnp.linalg.norm(rhs))
         return y, converged, neg
 
-    def solve(self, fact: PCGSchurFactor, rhs: BlockRhs) -> BlockRhs:
+    def solve_with_status(self, fact: PCGSchurFactor, rhs: BlockRhs):
+        """Solve, returning the per-solve CG status as well.
+
+        Negative curvature during CG means S is not positive definite — the
+        factorization's assumed SC inertia (nc, 0, 0) was wrong — and maps
+        to ``singular`` so the IP loop's inertia correction engages;
+        hitting ``cg_maxiter`` without converging maps to ``error``.
+        """
+
         def _solve(fact, blocks, coupling, psum_axis=None):
             v = _winv_apply_batched(
                 fact.block_W, fact.block_d, fact.block_s, blocks
@@ -226,10 +234,27 @@ class PCGSchurComplementSolver(LinearSolver):
             x = _winv_apply_batched(
                 fact.block_W, fact.block_d, fact.block_s, rhs2
             ).astype(blocks.dtype)
-            return x, y
+            solve_status = jnp.where(
+                neg,
+                jnp.int32(LinearSolverStatus.singular),
+                jnp.where(
+                    converged,
+                    jnp.int32(LinearSolverStatus.successful),
+                    jnp.int32(LinearSolverStatus.error),
+                ),
+            )
+            return x, y, solve_status
+
+        # the factorization may carry auto-padded blocks (see numeric)
+        nb = fact.block_W.shape[0]
+        n_rhs = rhs.blocks.shape[0]
+        blocks_in = rhs.blocks
+        if n_rhs != nb:
+            blocks_in = jnp.pad(rhs.blocks, ((0, nb - n_rhs), (0, 0)))
+        rhs = BlockRhs(blocks=blocks_in, coupling=rhs.coupling)
 
         if self.mesh is None:
-            x, y = _solve(fact, rhs.blocks, rhs.coupling)
+            x, y, solve_status = _solve(fact, rhs.blocks, rhs.coupling)
         else:
             ax = self.axis_name
             fact_specs = PCGSchurFactor(
@@ -245,14 +270,27 @@ class PCGSchurComplementSolver(LinearSolver):
                 nk=fact.nk,
                 nc=fact.nc,
             )
-            x, y = shard_map(
+            x, y, solve_status = shard_map(
                 lambda f, b, c: _solve(f, b, c, psum_axis=ax),
                 mesh=self.mesh,
                 in_specs=(fact_specs, P(ax), P()),
-                out_specs=(P(ax), P()),
+                out_specs=(P(ax), P(), P()),
                 check_vma=False,
             )(fact, rhs.blocks, rhs.coupling)
-        return BlockRhs(blocks=x, coupling=y)
+        status = jnp.maximum(fact.status, solve_status)
+        return BlockRhs(blocks=x[:n_rhs], coupling=y), status
+
+    def solve(self, fact: PCGSchurFactor, rhs: BlockRhs) -> BlockRhs:
+        """Back solve.  A failed CG (non-convergence / negative curvature)
+        NaN-poisons the solution so it can never be consumed as a valid
+        step; prefer :meth:`solve_with_status` for an inspectable status."""
+        sol, status = self.solve_with_status(fact, rhs)
+        ok = status <= jnp.int32(LinearSolverStatus.warning)
+        poison = jnp.where(ok, 0.0, jnp.nan)
+        return BlockRhs(
+            blocks=sol.blocks + poison.astype(sol.blocks.dtype),
+            coupling=sol.coupling + poison.astype(sol.coupling.dtype),
+        )
 
     def inertia(self, fact: PCGSchurFactor):
         return fact.inertia[0], fact.inertia[1], fact.inertia[2]

@@ -156,6 +156,50 @@ class SchurFactor:
     nc: int = dataclasses.field(metadata=dict(static=True))
 
 
+def pad_block_count(kkt, multiple: int):
+    """Pad a Block/LocalBlockKKT to a multiple of ``multiple`` blocks.
+
+    Padding blocks are masked identity blocks with zero borders (local rows
+    pointing at the dump index), so they factor trivially and contribute
+    nothing to the Schur complement, the inertia, or the solution.  This is
+    how any number of blocks >= 1 runs on any shard count, mirroring the
+    reference's blocks >= ranks flexibility
+    (/root/reference/parapint/interfaces/schur_complement/mpi_sc_ip_interface.py:78-79)
+    without its divisibility-by-hand requirement.
+    """
+    N = kkt.diag.shape[0]
+    rem = (-N) % multiple
+    if rem == 0:
+        return kkt
+    nk = kkt.diag.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(nk, dtype=kkt.diag.dtype), (rem, nk, nk))
+    diag = jnp.concatenate([kkt.diag, eye], axis=0)
+    mask = jnp.concatenate([kkt.mask, jnp.zeros(rem, dtype=kkt.mask.dtype)])
+    if isinstance(kkt, LocalBlockKKT):
+        L = kkt.border_loc.shape[1]
+        nc = kkt.q.shape[-1]
+        border_loc = jnp.concatenate(
+            [kkt.border_loc, jnp.zeros((rem, L, nk), dtype=kkt.border_loc.dtype)],
+            axis=0,
+        )
+        row_idx = jnp.concatenate(
+            [kkt.row_idx, jnp.full((rem, L), nc, dtype=jnp.int32)], axis=0
+        )
+        return LocalBlockKKT(
+            diag=diag,
+            border_loc=border_loc,
+            row_idx=row_idx,
+            q=kkt.q,
+            mask=mask,
+            assembly=kkt.assembly,
+        )
+    nc = kkt.q.shape[-1]
+    border = jnp.concatenate(
+        [kkt.border, jnp.zeros((rem, nc, nk), dtype=kkt.border.dtype)], axis=0
+    )
+    return BlockKKT(diag=diag, border=border, q=kkt.q, mask=mask)
+
+
 def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: float):
     """Batched LDL^T of the diagonal blocks + per-block inertia/status."""
     nk = diag.shape[-1]

@@ -49,6 +49,7 @@ from parapint_tpu.linalg.schur import (
     _sc_contribution_local,
     _sc_contribution_local_winv,
     _winv_apply_batched,
+    pad_block_count,
 )
 from parapint_tpu.ops.ldl import ldl_solve
 
@@ -103,12 +104,6 @@ class ShardedSchurComplementSolver(LinearSolver):
 
     def symbolic(self, kkt) -> LinearSolverResults:
         N = kkt.diag.shape[0]
-        if N % self.n_shards != 0:
-            raise ValueError(
-                f"number of blocks ({N}) must be a multiple of the mesh axis "
-                f"size ({self.n_shards}); pad with masked blocks "
-                f"(BlockKKT.mask) to round up"
-            )
         nc = kkt.q.shape[-1]
         nk = kkt.diag.shape[-1]
         if isinstance(kkt, LocalBlockKKT):
@@ -125,6 +120,10 @@ class ShardedSchurComplementSolver(LinearSolver):
 
     def numeric(self, kkt) -> SchurFactor:
         ax = self.axis_name
+        # any block count works: non-divisible counts are padded with masked
+        # identity blocks (reference supports any #blocks >= #ranks,
+        # mpi_sc_ip_interface.py:78-79)
+        kkt = pad_block_count(kkt, self.n_shards)
         local = isinstance(kkt, LocalBlockKKT)
         nc = kkt.q.shape[-1]
         assembly = kkt.assembly if local else "scatter"
@@ -294,6 +293,12 @@ class ShardedSchurComplementSolver(LinearSolver):
         diag_arg = fact.diag if refine else jnp.zeros((nb, 1, 1))
         q_arg = fact.q if refine else jnp.zeros((1, 1))
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), fact.sc_fact)
+        # the factorization may carry auto-padded blocks (see numeric);
+        # zero-pad the rhs to match and truncate the solution back
+        n_rhs = rhs.blocks.shape[0]
+        blocks_in = rhs.blocks
+        if n_rhs != nb:
+            blocks_in = jnp.pad(rhs.blocks, ((0, nb - n_rhs), (0, 0)))
         x, y = shard_map(
             _solve,
             mesh=self.mesh,
@@ -307,10 +312,10 @@ class ShardedSchurComplementSolver(LinearSolver):
             fact.sc_fact,
             diag_arg,
             q_arg,
-            rhs.blocks,
+            blocks_in,
             rhs.coupling,
         )
-        return BlockRhs(blocks=x, coupling=y)
+        return BlockRhs(blocks=x[:n_rhs], coupling=y)
 
     def inertia(self, fact: SchurFactor):
         return fact.inertia[0], fact.inertia[1], fact.inertia[2]

@@ -6,6 +6,7 @@ package directory and loaded through ctypes — no pybind11 dependency.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -14,12 +15,25 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "bk_ldl.cpp")
-_LIB = os.path.join(_HERE, "libbkldl.so")
 _lock = threading.Lock()
 _lib = None
 
 
-def _build() -> None:
+def _lib_path() -> str:
+    """Shared-object path keyed by the source content hash.
+
+    The binary is never committed (it is .gitignore'd); naming it by the
+    sha256 of bk_ldl.cpp means a stale or tampered build artifact can never
+    be loaded for changed source — the loader only ever dlopens the build
+    of exactly this source text.
+    """
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"libbkldl-{digest}.so")
+
+
+def _build(lib_path: str) -> None:
+    tmp = lib_path + f".tmp{os.getpid()}"
     cmd = [
         "g++",
         "-O3",
@@ -28,20 +42,22 @@ def _build() -> None:
         "-fPIC",
         _SRC,
         "-o",
-        _LIB,
+        tmp,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, lib_path)
 
 
 def load():
-    """Load (building if necessary) the native library."""
+    """Load (building from source if necessary) the native library."""
     global _lib
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            _build()
-        lib = ctypes.CDLL(_LIB)
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path):
+            _build(lib_path)
+        lib = ctypes.CDLL(lib_path)
         i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
         lib.bk_factor_batched.argtypes = [f64p, ctypes.c_int, ctypes.c_int, i32p, i32p]

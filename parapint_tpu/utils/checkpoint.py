@@ -38,6 +38,7 @@ def save_checkpoint(
         inertia_coef=float(inertia_coef),
         iteration=int(iteration),
         treedef=str(treedef),
+        shapes=[list(a.shape) for a in arrays.values()],
         n_leaves=len(leaves),
     )
     tmp = path + ".tmp"
@@ -49,10 +50,37 @@ def save_checkpoint(
 def load_checkpoint(path: str, like: IPState) -> Tuple[IPState, float, float, int]:
     """Load a checkpoint; ``like`` provides the pytree structure (e.g.
     ``interface.init_state()``).  Returns (state, barrier, inertia_coef,
-    iteration)."""
+    iteration).
+
+    The stored treedef and leaf shapes are validated against ``like``: a
+    checkpoint written for a different problem raises a clear ValueError
+    instead of unflattening into garbage.
+    """
     with np.load(path, allow_pickle=False) as data:
         meta = json.loads(str(data["__meta__"]))
         leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
-    _, treedef = jax.tree_util.tree_flatten(like)
+    like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    if meta.get("treedef") is not None and meta["treedef"] != str(treedef):
+        raise ValueError(
+            f"checkpoint {path!r} was written for a different state structure:\n"
+            f"  stored:   {meta['treedef']}\n  expected: {treedef}"
+        )
+    if len(leaves) != len(like_leaves):
+        raise ValueError(
+            f"checkpoint {path!r} holds {len(leaves)} leaves, expected "
+            f"{len(like_leaves)}"
+        )
+    stored_shapes = [tuple(s) for s in meta.get("shapes", [])]
+    like_shapes = [tuple(np.shape(l)) for l in like_leaves]
+    if stored_shapes and stored_shapes != like_shapes:
+        bad = [
+            (i, s, e)
+            for i, (s, e) in enumerate(zip(stored_shapes, like_shapes))
+            if s != e
+        ]
+        raise ValueError(
+            f"checkpoint {path!r} was written for a different problem size; "
+            f"mismatched leaf shapes (index, stored, expected): {bad[:5]}"
+        )
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     return state, meta["barrier"], meta["inertia_coef"], meta["iteration"]

@@ -1,0 +1,219 @@
+"""Round-2 fixes: PCG status propagation, auto-padded block counts,
+checkpoint validation, fused failure-state preservation."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import parapint_tpu as pt
+from parapint_tpu.linalg import (
+    BlockKKT,
+    LinearSolverStatus,
+    PCGSchurComplementSolver,
+    SchurComplementSolver,
+    ShardedSchurComplementSolver,
+)
+from parapint_tpu.linalg.schur import BlockRhs, LocalBlockKKT, pad_block_count
+
+sys.path.insert(0, "tests")
+
+
+def make_local_system(N=2, nk=8, L=3, q_scale=1.0, seed=0):
+    """LocalBlockKKT with SPD diagonal blocks and shared coupling rows.
+
+    S = q_scale*I - sum_i A_i K_i^{-1} A_i^T: large q_scale makes the SC
+    positive definite, negative q_scale makes it negative definite.
+    """
+    rng = np.random.default_rng(seed)
+    diag = np.zeros((N, nk, nk))
+    border_loc = np.zeros((N, L, nk))
+    for i in range(N):
+        A = rng.standard_normal((nk, nk))
+        diag[i] = A @ A.T + nk * np.eye(nk)
+        border_loc[i] = rng.standard_normal((L, nk))
+    row_idx = np.tile(np.arange(L, dtype=np.int32), (N, 1))
+    q = q_scale * np.eye(L)
+    return LocalBlockKKT.make(
+        jnp.asarray(diag),
+        jnp.asarray(border_loc),
+        row_idx,
+        jnp.asarray(q),
+        assembly="shared",
+    )
+
+
+def test_pcg_negative_curvature_sets_singular():
+    kkt = make_local_system(q_scale=-5.0)
+    pcg = PCGSchurComplementSolver(block_size=8)
+    fact = pcg.numeric(kkt)
+    # factorization itself is fine (SPD blocks)...
+    assert int(pcg.status(fact)) == int(LinearSolverStatus.successful)
+    rhs = BlockRhs(
+        blocks=jnp.ones(kkt.diag.shape[:2]), coupling=jnp.ones(kkt.q.shape[0])
+    )
+    # ...but the solve hits negative curvature (SC is negative definite)
+    sol, status = pcg.solve_with_status(fact, rhs)
+    assert int(status) == int(LinearSolverStatus.singular)
+    # plain solve() NaN-poisons instead of returning a bogus step
+    bad = pcg.solve(fact, rhs)
+    assert np.all(np.isnan(np.asarray(bad.coupling)))
+    assert np.all(np.isnan(np.asarray(bad.blocks)))
+
+
+def test_pcg_maxiter_starved_sets_error():
+    kkt = make_local_system(q_scale=1000.0, N=3, nk=12, L=6, seed=3)
+    pcg = PCGSchurComplementSolver(block_size=8, cg_maxiter=1, cg_tol=1e-14)
+    fact = pcg.numeric(kkt)
+    rhs = BlockRhs(
+        blocks=jnp.ones(kkt.diag.shape[:2]), coupling=jnp.ones(kkt.q.shape[0])
+    )
+    sol, status = pcg.solve_with_status(fact, rhs)
+    assert int(status) == int(LinearSolverStatus.error)
+    # a converging configuration still reports success
+    pcg_ok = PCGSchurComplementSolver(block_size=8, cg_maxiter=200)
+    fact_ok = pcg_ok.numeric(kkt)
+    sol_ok, status_ok = pcg_ok.solve_with_status(fact_ok, rhs)
+    assert int(status_ok) == int(LinearSolverStatus.successful)
+    assert not np.any(np.isnan(np.asarray(sol_ok.coupling)))
+
+
+def test_ip_solve_raises_on_failed_pcg_solve():
+    from test_dynamic import make_dynamic_spec
+
+    spec = make_dynamic_spec(3)
+    interface = pt.DynamicSchurComplementInteriorPointInterface(spec)
+    options = pt.IPOptions()
+    options.linalg.solver = PCGSchurComplementSolver(
+        block_size=16, cg_maxiter=0
+    )
+    with pytest.raises(RuntimeError, match="back solve failed"):
+        pt.ip_solve(interface, options)
+
+
+def test_fused_keeps_state_on_failed_solve():
+    from test_dynamic import make_dynamic_spec
+
+    spec = make_dynamic_spec(3)
+    interface = pt.DynamicSchurComplementInteriorPointInterface(spec)
+    options = pt.IPOptions()
+    options.linalg.solver = PCGSchurComplementSolver(
+        block_size=16, cg_maxiter=0
+    )
+    status, result = pt.ip_solve_fused(interface, options)
+    assert status == pt.InteriorPointStatus.error
+    # the error result carries the incoming (last valid) iterate, not a
+    # NaN-poisoned one
+    state0 = interface.init_state()
+    for a, b in zip(
+        jax.tree_util.tree_leaves(result.state),
+        jax.tree_util.tree_leaves(state0),
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+# -- auto-padded block counts ------------------------------------------------
+
+
+def _dense_solution(diag, border, q, rhs_blocks, rhs_coupling):
+    from test_schur import dense_assemble
+
+    M = dense_assemble(np.asarray(diag), np.asarray(border), np.asarray(q))
+    r = np.concatenate([np.asarray(rhs_blocks).ravel(), np.asarray(rhs_coupling)])
+    return np.linalg.solve(M, r)
+
+
+@pytest.mark.parametrize("N", [7, 5])
+def test_sharded_auto_pads_nondivisible_blocks(N):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import Mesh
+    from test_schur import make_system
+
+    nk, nc = 12, 5
+    diag, border, q = make_system(N, nk, nc, seed=N)
+    rng = np.random.default_rng(2)
+    rhs_blocks = rng.standard_normal((N, nk))
+    rhs_coupling = rng.standard_normal(nc)
+    expected = _dense_solution(diag, border, q, rhs_blocks, rhs_coupling)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("blocks",))
+    solver = ShardedSchurComplementSolver(mesh=mesh, block_size=16)
+    kkt = BlockKKT.make(jnp.asarray(diag), jnp.asarray(border), jnp.asarray(q))
+    assert solver.symbolic(kkt).status == LinearSolverStatus.successful
+    fact = solver.numeric(kkt)
+    assert int(solver.status(fact)) == int(LinearSolverStatus.successful)
+    sol = solver.solve(
+        fact,
+        BlockRhs(blocks=jnp.asarray(rhs_blocks), coupling=jnp.asarray(rhs_coupling)),
+    )
+    got = np.concatenate([np.asarray(sol.blocks).ravel(), np.asarray(sol.coupling)])
+    assert sol.blocks.shape == (N, nk)
+    assert np.allclose(got, expected, rtol=1e-7, atol=1e-7)
+    # inertia excludes the padding blocks
+    pos, neg, zero = solver.inertia(fact)
+    serial = SchurComplementSolver(block_size=16)
+    sfact = serial.numeric(kkt)
+    spos, sneg, szero = serial.inertia(sfact)
+    assert (int(pos), int(neg), int(zero)) == (int(spos), int(sneg), int(szero))
+
+
+def test_pcg_sharded_auto_pads():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("blocks",))
+    kkt = make_local_system(q_scale=500.0, N=7, nk=8, L=3, seed=1)
+    rhs = BlockRhs(blocks=jnp.ones((7, 8)), coupling=jnp.ones(3))
+    serial = PCGSchurComplementSolver(block_size=8)
+    s_sol, s_status = serial.solve_with_status(serial.numeric(kkt), rhs)
+    assert int(s_status) == 0
+    sharded = PCGSchurComplementSolver(mesh=mesh, block_size=8)
+    p_fact = sharded.numeric(kkt)
+    p_sol, p_status = sharded.solve_with_status(p_fact, rhs)
+    assert int(p_status) == 0
+    assert p_sol.blocks.shape == (7, 8)
+    assert np.allclose(
+        np.asarray(s_sol.blocks), np.asarray(p_sol.blocks), atol=1e-8
+    )
+    assert np.allclose(
+        np.asarray(s_sol.coupling), np.asarray(p_sol.coupling), atol=1e-8
+    )
+
+
+def test_pad_block_count_helper():
+    kkt = make_local_system(N=5)
+    padded = pad_block_count(kkt, 4)
+    assert padded.diag.shape[0] == 8
+    assert np.array_equal(np.asarray(padded.mask), [1, 1, 1, 1, 1, 0, 0, 0])
+    # dump index for padded rows
+    assert np.all(np.asarray(padded.row_idx[5:]) == kkt.q.shape[0])
+    # already divisible: unchanged object
+    assert pad_block_count(kkt, 5) is kkt
+
+
+# -- checkpoint validation ---------------------------------------------------
+
+
+def test_checkpoint_rejects_mismatched_state(tmp_path):
+    from parapint_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "ck.npz")
+    state = {"x": jnp.zeros(3), "y": jnp.ones((2, 2))}
+    save_checkpoint(path, state, 0.1, 1e-8, 4)
+
+    # same structure loads fine
+    out, barrier, coef, it = load_checkpoint(path, like=state)
+    assert it == 4 and barrier == 0.1
+    assert np.array_equal(np.asarray(out["y"]), np.ones((2, 2)))
+
+    # different shapes -> clear error
+    with pytest.raises(ValueError, match="different problem size"):
+        load_checkpoint(path, like={"x": jnp.zeros(5), "y": jnp.ones((2, 2))})
+
+    # different structure -> clear error
+    with pytest.raises(ValueError, match="different state structure"):
+        load_checkpoint(path, like={"a": jnp.zeros(3), "b": jnp.ones((2, 2))})
