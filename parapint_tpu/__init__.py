@@ -52,6 +52,7 @@ from parapint_tpu.linalg import (
     SchurComplementSolver,
     ShardedSchurComplementSolver,
     PCGSchurComplementSolver,
+    BlockTridiagSolver,
 )
 from parapint_tpu.models import NLPModel
 from parapint_tpu.interfaces import (
@@ -83,6 +84,7 @@ __all__ = [
     "SchurComplementSolver",
     "ShardedSchurComplementSolver",
     "PCGSchurComplementSolver",
+    "BlockTridiagSolver",
     "NLPModel",
     "InteriorPointInterface",
     "DynamicSchurComplementInteriorPointInterface",

@@ -53,8 +53,11 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
     solver = options.linalg.solver
     if solver is None:
         raise ValueError("options.linalg.solver must be set")
-    if not options.line_search.disable:
-        raise NotImplementedError("fused path supports line_search.disable only")
+    do_ls = not options.line_search.disable
+    if do_ls and not hasattr(interface, "merit_components"):
+        raise NotImplementedError(
+            "line search requires an interface with merit_components"
+        )
 
     tol = options.tol
     mu_min = options.minimum_barrier_parameter
@@ -109,8 +112,75 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
     # per iteration)
     shared_ad = hasattr(interface, "eval_ad")
 
+    # -- filter line search (device-side) ----------------------------------
+    # IPOPT-style filter acceptance (Waechter & Biegler) run entirely on
+    # device: the filter is a fixed-capacity pair of arrays in the solve
+    # carry; each trial costs one values-only merit evaluation
+    # (interface.merit_components), no AD.  The reference's line search is
+    # an unimplemented stub (interior_point.py:320-334); this honors its
+    # LineSearchOptions: up to ``max_iter`` halvings, ``step_anyway`` takes
+    # the full step when no trial is acceptable, else the iteration fails.
+    FCAP = min(options.max_iter, 256)
+    GAMMA = 1e-5  # filter margins gamma_theta = gamma_phi
+    FAR = 1e300  # empty-slot sentinel: accepts everything
+
+    def empty_filter():
+        if not do_ls:
+            return ()
+        return (
+            jnp.full(FCAP, FAR),
+            jnp.full(FCAP, FAR),
+            jnp.int32(0),
+        )
+
+    def filter_line_search(state, deltas, a_p, a_d, mu, filt):
+        """Returns (alpha, ls_ok, new_filter)."""
+        ls = options.line_search
+        theta_f, phi_f, fcount = filt
+        theta0, phi0 = interface.merit_components(state, mu)
+
+        def acceptable(th, ph):
+            ok_entries = jnp.all(
+                jnp.logical_or(
+                    th <= (1.0 - GAMMA) * theta_f,
+                    ph <= phi_f - GAMMA * theta_f,
+                )
+            )
+            ok_current = jnp.logical_or(
+                th <= (1.0 - GAMMA) * theta0, ph <= phi0 - GAMMA * theta0
+            )
+            finite = jnp.logical_and(jnp.isfinite(th), jnp.isfinite(ph))
+            return jnp.logical_and(jnp.logical_and(ok_entries, ok_current), finite)
+
+        def cond(c):
+            k, alpha, found = c
+            return jnp.logical_and(
+                jnp.logical_not(found), k < max(1, ls.max_iter)
+            )
+
+        def body(c):
+            k, alpha, found = c
+            trial = interface.apply_step(state, deltas, a_p, a_d, alpha)
+            th, ph = interface.merit_components(trial, mu)
+            ok = acceptable(th, ph)
+            return k + 1, jnp.where(ok, alpha, 0.5 * alpha), jnp.logical_or(found, ok)
+
+        _, alpha, found = lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.asarray(1.0), jnp.asarray(False))
+        )
+        if ls.step_anyway:
+            alpha = jnp.where(found, alpha, 1.0)
+            ls_ok = jnp.asarray(True)
+        else:
+            ls_ok = found
+        # augment the filter with the (margin-shrunk) incumbent
+        idx = jnp.minimum(fcount, FCAP - 1)
+        theta_f = theta_f.at[idx].set((1.0 - GAMMA) * theta0)
+        phi_f = phi_f.at[idx].set(phi0 - GAMMA * theta0)
+        return alpha, ls_ok, (theta_f, phi_f, jnp.minimum(fcount + 1, FCAP))
+
     def one_iteration(carry):
-        state, mu, inertia_coef, it, done, status, diags = carry
+        state, mu, inertia_coef, it, done, status, diags, filt = carry
         if shared_ad:
             ad = interface.eval_ad(state)
             info = interface.convergence_from_ad(state, ad, mu, error_scaling)
@@ -133,7 +203,7 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
         )
 
         def do_step(args):
-            state, mu = args
+            state, mu, filt = args
             if shared_ad:
                 data = interface.kkt_from_ad(state, ad, mu)
             else:
@@ -151,7 +221,14 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
                 a = jnp.minimum(a_p, a_d)
                 a_p = a
                 a_d = a
-            stepped = interface.apply_step(state, deltas, a_p, a_d)
+            if do_ls:
+                alpha, ls_ok, filt = filter_line_search(
+                    state, deltas, a_p, a_d, mu, filt
+                )
+                ok = jnp.logical_and(ok, ls_ok)
+                stepped = interface.apply_step(state, deltas, a_p, a_d, alpha)
+            else:
+                stepped = interface.apply_step(state, deltas, a_p, a_d)
             # on factorization/solve failure keep the incoming iterate: the
             # error result then carries the last valid point (the Python
             # ip_solve raises before stepping; this is the fused equivalent)
@@ -161,14 +238,14 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
             next_coef = jnp.maximum(
                 jnp.asarray(ic.init_coef), used * ic.factor_decrease
             )
-            return new_state, next_coef, jnp.logical_not(ok)
+            return new_state, next_coef, jnp.logical_not(ok), filt
 
         def no_step(args):
-            state, mu = args
-            return state, jnp.asarray(inertia_coef) * 1.0, jnp.asarray(False)
+            state, mu, filt = args
+            return state, jnp.asarray(inertia_coef) * 1.0, jnp.asarray(False), filt
 
-        new_state, next_coef, failed = lax.cond(
-            converged, no_step, do_step, (state, mu_next)
+        new_state, next_coef, failed, filt = lax.cond(
+            converged, no_step, do_step, (state, mu_next, filt)
         )
         done = jnp.logical_or(converged, failed)
         status = jnp.where(
@@ -176,10 +253,10 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
             jnp.int32(InteriorPointStatus.optimal.value),
             jnp.where(failed, jnp.int32(InteriorPointStatus.error.value), status),
         )
-        return new_state, mu_next, next_coef, it + 1, done, status, diags
+        return new_state, mu_next, next_coef, it + 1, done, status, diags, filt
 
     def cond(carry):
-        state, mu, inertia_coef, it, done, status, diags = carry
+        state, mu, inertia_coef, it, done, status, diags, filt = carry
         return jnp.logical_and(jnp.logical_not(done), it < options.max_iter)
 
     def solve(state0) -> FusedResult:
@@ -192,8 +269,9 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
             jnp.asarray(False),
             jnp.int32(InteriorPointStatus.error.value),
             (zero, zero, zero),
+            empty_filter(),
         )
-        state, mu, _, it, done, status, diags = lax.while_loop(
+        state, mu, _, it, done, status, diags, _ = lax.while_loop(
             cond, one_iteration, carry0
         )
         return FusedResult(

@@ -198,6 +198,20 @@ def barrier_hessian_diag(x, lb, ub, zl, zu):
     return lo + hi
 
 
+def log_barrier_sum(v, lb, ub):
+    """sum over finite bounds of log(v - lb) + log(ub - v).
+
+    Used by the filter line search's barrier objective phi.  Entries at (or
+    beyond) a bound clamp at a tiny positive argument so the merit stays
+    finite (fraction-to-the-boundary keeps trial iterates strictly inside,
+    so the clamp only ever engages on padded/degenerate entries).
+    """
+    tiny = 1e-300
+    lo = jnp.where(jnp.isfinite(lb), jnp.log(jnp.maximum(v - lb, tiny)), 0.0)
+    hi = jnp.where(jnp.isfinite(ub), jnp.log(jnp.maximum(ub - v, tiny)), 0.0)
+    return jnp.sum(lo) + jnp.sum(hi)
+
+
 def barrier_grad_term(x, lb, ub, mu):
     """-mu/(x-lb) + mu/(ub-x): the barrier part of grad_lag wrt x (or s)."""
     lo = jnp.where(jnp.isfinite(lb), mu / (x - lb), 0.0)

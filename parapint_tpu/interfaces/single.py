@@ -225,6 +225,22 @@ class InteriorPointInterface(base.BaseInteriorPointInterface):
 
     # -- KKT evaluation (reference interface.py:432-528) ------------------
 
+    def merit_components(self, state, barrier):
+        """(theta, phi) for the filter line search: theta = 1-norm of the
+        constraint residuals, phi = barrier objective (values-only)."""
+        fns = self.fns
+        x = state.primals
+        s = state.slacks
+        theta = jnp.sum(jnp.abs(fns.c_eq(x))) + jnp.sum(
+            jnp.abs(fns.c_ineq(x) - s)
+        )
+        b = self.bounds
+        phi = self.obj_factor * fns.f(x) - barrier * (
+            base.log_barrier_sum(x, b.xl, b.xu)
+            + base.log_barrier_sum(s, b.gl, b.gu)
+        )
+        return theta, phi
+
     def eval_kkt_data(self, state: IPState, barrier) -> KKTData:
         return self._eval_kkt_data(state, self.bounds, barrier)
 

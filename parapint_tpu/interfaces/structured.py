@@ -409,6 +409,34 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             error_scaling=error_scaling,
         )
 
+    # -- line-search merit ---------------------------------------------------
+
+    def merit_components(self, state, barrier):
+        """(theta, phi) for the filter line search: theta = 1-norm of all
+        constraint residuals (eq + ineq-slack + link), phi = barrier
+        objective.  Values-only — no AD sweep — so a line-search trial costs
+        a small fraction of an iteration."""
+        fns = self.fns
+        x = state.primals["blocks"]
+        c = state.primals["coupling"]
+        s = state.slacks
+        args = (x, self.params, self.x_mask)
+        obj = fns.total_objective(*args)
+        c_eq = fns.c_eq(*args, self.eq_mask)
+        c_ineq = fns.c_ineq(*args, self.ineq_mask)
+        link = self._link_resid(x, c)
+        theta = (
+            jnp.sum(jnp.abs(c_eq))
+            + jnp.sum(jnp.abs(c_ineq - s))
+            + jnp.sum(jnp.abs(link))
+        )
+        b = self.bounds
+        phi = self.obj_factor * obj - barrier * (
+            base.log_barrier_sum(x, b.xl["blocks"], b.xu["blocks"])
+            + base.log_barrier_sum(s, b.gl, b.gu)
+        )
+        return theta, phi
+
     # -- KKT evaluation ------------------------------------------------------
 
     def eval_kkt_data(self, state, barrier):

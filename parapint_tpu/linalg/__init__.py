@@ -19,6 +19,7 @@ from parapint_tpu.linalg.schur import (
 from parapint_tpu.linalg.sharded_schur import ShardedSchurComplementSolver
 from parapint_tpu.linalg.host_bk import HostBKSolver
 from parapint_tpu.linalg.pcg_schur import PCGSchurComplementSolver
+from parapint_tpu.linalg.tridiag import BlockTridiag, BlockTridiagSolver
 
 __all__ = [
     "LinearSolverStatus",
@@ -33,4 +34,6 @@ __all__ = [
     "BlockRhs",
     "HostBKSolver",
     "PCGSchurComplementSolver",
+    "BlockTridiag",
+    "BlockTridiagSolver",
 ]

@@ -302,6 +302,44 @@ def _scatter_sc(S_loc, row_idx, nc: int):
     return out[:nc, :nc]
 
 
+def _chain_tiles(S_loc, nc: int, group_offset=None):
+    """Chain-topology SC contribution in block-tridiagonal *tile* form.
+
+    Returns ``(diag_tiles (ng, ns, ns), upper_full (ng, ns, ns))`` where
+    ``upper_full[g]`` is the (c_g, c_{g+1}) tile (index ng-1 is structurally
+    unused — the last coupling group has no successor — and is dropped by
+    consumers).  Keeping the SC in tile form is what the block-tridiagonal
+    (cyclic-reduction) coupling solver consumes: O(nc*ns) data instead of
+    the dense O(nc^2), which also shrinks the cross-shard psum by the same
+    factor.
+    """
+    Nb, L, _ = S_loc.shape
+    ns = L // 2
+    ng = nc // ns  # number of coupling groups (global blocks - 1)
+    dt = S_loc.dtype
+    # quadrants: rows/cols [bwd -> c_{i-1} | fwd -> c_i]
+    bb = S_loc[:, :ns, :ns]
+    bf = S_loc[:, :ns, ns:]
+    ff = S_loc[:, ns:, ns:]
+    off = group_offset if group_offset is not None else 0
+
+    def place(tiles, start):
+        # tiles for global tile-rows [start, start+Nb); out-of-range
+        # writes land in the sacrificial border rows (their tiles are
+        # zero by the link masks)
+        out = jnp.zeros((ng + 2, ns, ns), dtype=dt)
+        idx = jnp.asarray(start + 1, dtype=jnp.int32)
+        zero = jnp.int32(0)
+        out = lax.dynamic_update_slice(out, tiles, (idx, zero, zero))
+        return out[1 : ng + 1]
+
+    # S tile-diag[g] = ff[block g] + bb[block g+1];
+    # S tile-upper[g] (c_g, c_{g+1}) = bf[block g+1]; lower = upper^T
+    diag_tiles = place(ff, off) + place(bb, off - 1)
+    upper_full = place(bf, off - 1)
+    return diag_tiles, upper_full
+
+
 def _assemble_sc(S_loc, row_idx, nc: int, assembly: str, group_offset=None):
     """Place per-block local SC contributions (N, L, L) into the global
     (nc, nc) Schur complement.
@@ -318,28 +356,9 @@ def _assemble_sc(S_loc, row_idx, nc: int, assembly: str, group_offset=None):
         ns = L // 2
         if ns == 0 or nc % max(ns, 1) != 0:
             return _scatter_sc(S_loc, row_idx, nc)
-        ng = nc // ns  # number of coupling groups (global blocks - 1)
+        ng = nc // ns
         dt = S_loc.dtype
-        # quadrants: rows/cols [bwd -> c_{i-1} | fwd -> c_i]
-        bb = S_loc[:, :ns, :ns]
-        bf = S_loc[:, :ns, ns:]
-        ff = S_loc[:, ns:, ns:]
-        off = group_offset if group_offset is not None else 0
-
-        def place(tiles, start):
-            # tiles for global tile-rows [start, start+Nb); out-of-range
-            # writes land in the sacrificial border rows (their tiles are
-            # zero by the link masks)
-            out = jnp.zeros((ng + 2, ns, ns), dtype=dt)
-            idx = jnp.asarray(start + 1, dtype=jnp.int32)
-            zero = jnp.int32(0)
-            out = lax.dynamic_update_slice(out, tiles, (idx, zero, zero))
-            return out[1 : ng + 1]
-
-        # S tile-diag[g] = ff[block g] + bb[block g+1];
-        # S tile-upper[g] (c_g, c_{g+1}) = bf[block g+1]; lower = upper^T
-        diag_tiles = place(ff, off) + place(bb, off - 1)
-        upper_tiles = place(bf, off - 1)
+        diag_tiles, upper_tiles = _chain_tiles(S_loc, nc, group_offset)
         eye = jnp.eye(ng, dtype=dt)
         up = jnp.eye(ng, k=1, dtype=dt)
         Sd = jnp.einsum("gij,gh->gihj", diag_tiles, eye)
@@ -372,6 +391,35 @@ def _sc_contribution_local_winv(
     return _assemble_sc(S_loc, row_idx, nc, assembly, group_offset)
 
 
+def _sc_tiles_local_winv(W, d, s, border_loc, nc: int, group_offset=None):
+    """Chain-topology SC contribution in tile form (W-mode)."""
+    S_loc = _winv_multi(W, d, s, jnp.swapaxes(border_loc, 1, 2))
+    return _chain_tiles(S_loc, nc, group_offset)
+
+
+def _sc_tiles_local(LD, border_loc, nc: int, group_offset=None):
+    """Chain-topology SC contribution in tile form (packed-LDL mode)."""
+    V = jax.vmap(lambda ld, a: ldl_solve(ld, a.T))(LD, border_loc)
+    S_loc = jnp.einsum(
+        "bli,bik->blk", border_loc, V, preferred_element_type=border_loc.dtype
+    )
+    return _chain_tiles(S_loc, nc, group_offset)
+
+
+def _tridiag_sc_capable(sc_solver, kkt) -> bool:
+    """True when the coupling solve can stay in block-tridiagonal tile form:
+    chain topology + a tile-form-capable SC solver."""
+    from parapint_tpu.linalg.tridiag import BlockTridiagSolver
+
+    if not isinstance(sc_solver, BlockTridiagSolver):
+        return False
+    if not isinstance(kkt, LocalBlockKKT) or kkt.assembly != "chain":
+        return False
+    ns = kkt.border_loc.shape[1] // 2
+    nc = kkt.q.shape[-1]
+    return ns > 0 and nc > 0 and nc % ns == 0
+
+
 def _border_apply_local(border_loc, row_idx, v, nc: int):
     """sum_i P_i A_i v_i -> (nc,)"""
     contrib = jnp.einsum(
@@ -391,29 +439,69 @@ def _border_T_apply_local(border_loc, row_idx, y):
     )
 
 
-def _kkt_matvec(fact: "SchurFactor", x: "BlockRhs", psum_axis=None) -> "BlockRhs":
+def _kkt_matvec(
+    fact: "SchurFactor", x: "BlockRhs", psum_axis=None, dtype=None
+) -> "BlockRhs":
     """K @ x for the full block-bordered system (used by iterative
     refinement).  With ``psum_axis`` set, the coupling part is reduced over
-    the mesh axis (shard_map context)."""
-    bx = jnp.einsum(
-        "bij,bj->bi", fact.diag, x.blocks, preferred_element_type=x.blocks.dtype
-    )
-    if fact.border_loc is not None:
-        bx = bx + _border_T_apply_local(fact.border_loc, fact.row_idx, x.coupling)
-        cy = _border_apply_local(fact.border_loc, fact.row_idx, x.blocks, fact.nc)
+    the mesh axis (shard_map context).  With ``dtype`` set, all operands are
+    cast first — the cheap low-precision residual probe of the adaptive
+    refinement (an f32 matvec costs ~10-20x less than the f64-emulated one
+    on TPU)."""
+    diag, q = fact.diag, fact.q
+    xb, xc = x.blocks, x.coupling
+    border = fact.border
+    border_loc = fact.border_loc
+    if dtype is not None:
+        diag = diag.astype(dtype)
+        q = q.astype(dtype)
+        xb = xb.astype(dtype)
+        xc = xc.astype(dtype)
+        border = None if border is None else border.astype(dtype)
+        border_loc = None if border_loc is None else border_loc.astype(dtype)
+    bx = jnp.einsum("bij,bj->bi", diag, xb, preferred_element_type=xb.dtype)
+    if border_loc is not None:
+        bx = bx + _border_T_apply_local(border_loc, fact.row_idx, xc)
+        cy = _border_apply_local(border_loc, fact.row_idx, xb, fact.nc)
     else:
         bx = bx + jnp.einsum(
-            "bci,c->bi", fact.border, x.coupling,
-            preferred_element_type=x.blocks.dtype,
+            "bci,c->bi", border, xc, preferred_element_type=xb.dtype
         )
         cy = jnp.einsum(
-            "bci,bi->c", fact.border, x.blocks,
-            preferred_element_type=x.blocks.dtype,
+            "bci,bi->c", border, xb, preferred_element_type=xb.dtype
         )
     if psum_axis is not None:
         cy = jax.lax.psum(cy, psum_axis)
-    cy = cy + jnp.matmul(fact.q, x.coupling, preferred_element_type=cy.dtype)
+    cy = cy + jnp.matmul(q, xc, preferred_element_type=cy.dtype)
     return BlockRhs(blocks=bx, coupling=cy)
+
+
+def _refine_probe(
+    fact: "SchurFactor",
+    rhs: "BlockRhs",
+    x: "BlockRhs",
+    trigger: float,
+    psum_axis=None,
+):
+    """f32 residual check: True when ||rhs - K x|| > trigger * max(1, ||rhs||).
+
+    Runs entirely in f32 (cheap on TPU) — it only needs to detect gross
+    solve failure (relative residual above ~1e-5), far above the f32 matvec
+    noise floor.  With ``psum_axis``, block norms reduce over the mesh axis
+    (the coupling part is replicated and is added once).
+    """
+    f32 = jnp.float32
+    kx = _kkt_matvec(fact, x, psum_axis=psum_axis, dtype=f32)
+    rb = rhs.blocks.astype(f32) - kx.blocks
+    rc = rhs.coupling.astype(f32) - kx.coupling
+    rb2 = jnp.sum(rb * rb)
+    bb2 = jnp.sum(rhs.blocks.astype(f32) ** 2)
+    if psum_axis is not None:
+        rb2 = jax.lax.psum(rb2, psum_axis)
+        bb2 = jax.lax.psum(bb2, psum_axis)
+    rn2 = rb2 + jnp.sum(rc * rc)
+    bn2 = bb2 + jnp.sum(rhs.coupling.astype(f32) ** 2)
+    return rn2 > (trigger * trigger) * jnp.maximum(1.0, bn2)
 
 
 class SchurComplementSolver(LinearSolver):
@@ -432,6 +520,7 @@ class SchurComplementSolver(LinearSolver):
         explicit_inverse: bool = False,
         refine_steps: Optional[int] = None,
         factor_dtype=None,
+        refine_trigger: float = 1e-5,
     ):
         self.sc_solver = (
             schur_complement_solver
@@ -449,15 +538,20 @@ class SchurComplementSolver(LinearSolver):
         self.zero_tol = zero_tol
         self.explicit_inverse = explicit_inverse
         self.factor_dtype = factor_dtype
+        # refine_steps=None -> ADAPTIVE refinement (the default): after each
+        # solve a cheap f32 residual probe decides whether the expensive
+        # f64-emulated refinement pass runs at all.  Well-conditioned
+        # problems (e.g. the Burgers benchmark) then run at refine_steps=0
+        # speed (the f64 residual matvec is the single largest
+        # per-iteration cost), while problems whose f32 factorization
+        # stalls (LP-like KKTs under TPU f32 matmul semantics) still get
+        # the refinement pass whenever the probe exceeds refine_trigger.
+        # Pass an explicit integer to force a fixed number of passes.
+        self.adaptive_refine = refine_steps is None and explicit_inverse
         if refine_steps is None:
-            # One f64 refinement pass is the safe default: well-conditioned
-            # problems (e.g. the Burgers benchmark) converge with
-            # refine_steps=0 too (the f64-emulated residual matvec is the
-            # single largest per-iteration cost, so 0 is ~40% faster per
-            # iteration), but LP-like problems have been observed to stall
-            # under TPU f32 matmul semantics without the refinement pass.
             refine_steps = 1
         self.refine_steps = refine_steps if explicit_inverse else 0
+        self.refine_trigger = refine_trigger
 
     def symbolic(self, kkt) -> LinearSolverResults:
         N, nk, nk2 = kkt.diag.shape
@@ -480,29 +574,51 @@ class SchurComplementSolver(LinearSolver):
                 )
         return LinearSolverResults(status=LinearSolverStatus.successful)
 
+    def _use_tridiag_sc(self, kkt) -> bool:
+        return _tridiag_sc_capable(self.sc_solver, kkt)
+
     def numeric(self, kkt) -> SchurFactor:
+        from parapint_tpu.linalg.tridiag import BlockTridiag, extract_tridiag
+
         nk = kkt.diag.shape[-1]
         nc = kkt.q.shape[-1]
         local = isinstance(kkt, LocalBlockKKT)
+        tridiag = self._use_tridiag_sc(kkt)
+        ns = kkt.border_loc.shape[1] // 2 if local else 0
         if self.explicit_inverse:
             W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
                 kkt.diag, kkt.mask, self.block_size, self.zero_tol,
                 self.factor_dtype,
             )
             LD = None
-            if local:
+            if tridiag:
+                dt_c, ut_full = _sc_tiles_local_winv(
+                    W, d, s, kkt.border_loc, nc
+                )
+                q_tri = extract_tridiag(kkt.q.astype(W.dtype), ns)
+                sc = BlockTridiag(
+                    diag=q_tri.diag - dt_c, upper=q_tri.upper - ut_full[:-1]
+                )
+            elif local:
                 contrib = _sc_contribution_local_winv(
                     W, d, s, kkt.border_loc, kkt.row_idx, nc, kkt.assembly
                 )
+                sc = kkt.q.astype(W.dtype) - contrib
             else:
                 contrib = _sc_contribution_winv(W, d, s, kkt.border, kkt.mask)
-            sc = kkt.q.astype(W.dtype) - contrib
+                sc = kkt.q.astype(W.dtype) - contrib
         else:
             W = d = s = None
             LD, blk_inertia, blk_status = _factor_blocks(
                 kkt.diag, kkt.mask, self.block_size, self.zero_tol
             )
-            if local:
+            if tridiag:
+                dt_c, ut_full = _sc_tiles_local(LD, kkt.border_loc, nc)
+                q_tri = extract_tridiag(kkt.q, ns)
+                sc = BlockTridiag(
+                    diag=q_tri.diag - dt_c, upper=q_tri.upper - ut_full[:-1]
+                )
+            elif local:
                 sc = kkt.q - _sc_contribution_local(
                     LD, kkt.border_loc, kkt.row_idx, nc, kkt.assembly
                 )
@@ -571,16 +687,23 @@ class SchurComplementSolver(LinearSolver):
                 coupling=b.coupling.astype(rhs.coupling.dtype),
             )
 
-        x = up(self._solve_once(fact, rhs))
-        for _ in range(self.refine_steps):
+        def refine_pass(x: BlockRhs) -> BlockRhs:
             kx = _kkt_matvec(fact, x)
             r = BlockRhs(
                 blocks=rhs.blocks - kx.blocks, coupling=rhs.coupling - kx.coupling
             )
             dx = up(self._solve_once(fact, r))
-            x = BlockRhs(
+            return BlockRhs(
                 blocks=x.blocks + dx.blocks, coupling=x.coupling + dx.coupling
             )
+
+        x = up(self._solve_once(fact, rhs))
+        if self.adaptive_refine:
+            need = _refine_probe(fact, rhs, x, self.refine_trigger)
+            x = lax.cond(need, refine_pass, lambda x: x, x)
+        else:
+            for _ in range(self.refine_steps):
+                x = refine_pass(x)
         return x
 
     def inertia(self, fact: SchurFactor):

@@ -44,10 +44,14 @@ from parapint_tpu.linalg.schur import (
     _factor_blocks,
     _factor_blocks_winv,
     _kkt_matvec,
+    _refine_probe,
     _sc_contribution,
     _sc_contribution_winv,
     _sc_contribution_local,
     _sc_contribution_local_winv,
+    _sc_tiles_local,
+    _sc_tiles_local_winv,
+    _tridiag_sc_capable,
     _winv_apply_batched,
     pad_block_count,
 )
@@ -74,6 +78,7 @@ class ShardedSchurComplementSolver(LinearSolver):
         explicit_inverse: bool = False,
         refine_steps: Optional[int] = None,
         factor_dtype=None,
+        refine_trigger: float = 1e-5,
     ):
         self.mesh = mesh
         self.axis_name = axis_name
@@ -91,15 +96,13 @@ class ShardedSchurComplementSolver(LinearSolver):
         self.zero_tol = zero_tol
         self.explicit_inverse = explicit_inverse
         self.factor_dtype = factor_dtype
+        # refine_steps=None -> adaptive refinement (cheap f32 residual probe
+        # gates the f64 pass); see SchurComplementSolver.__init__.
+        self.adaptive_refine = refine_steps is None and explicit_inverse
         if refine_steps is None:
-            # One f64 refinement pass is the safe default: well-conditioned
-            # problems (e.g. the Burgers benchmark) converge with
-            # refine_steps=0 too (the f64-emulated residual matvec is the
-            # single largest per-iteration cost, so 0 is ~40% faster per
-            # iteration), but LP-like problems have been observed to stall
-            # under TPU f32 matmul semantics without the refinement pass.
             refine_steps = 1
         self.refine_steps = refine_steps if explicit_inverse else 0
+        self.refine_trigger = refine_trigger
         self.n_shards = mesh.shape[axis_name]
 
     def symbolic(self, kkt) -> LinearSolverResults:
@@ -119,6 +122,8 @@ class ShardedSchurComplementSolver(LinearSolver):
     # -- numeric -----------------------------------------------------------
 
     def numeric(self, kkt) -> SchurFactor:
+        from parapint_tpu.linalg.tridiag import BlockTridiag, extract_tridiag
+
         ax = self.axis_name
         # any block count works: non-divisible counts are padded with masked
         # identity blocks (reference supports any #blocks >= #ranks,
@@ -127,18 +132,25 @@ class ShardedSchurComplementSolver(LinearSolver):
         local = isinstance(kkt, LocalBlockKKT)
         nc = kkt.q.shape[-1]
         assembly = kkt.assembly if local else "scatter"
+        tridiag = _tridiag_sc_capable(self.sc_solver, kkt)
+        ns = kkt.border_loc.shape[1] // 2 if local else 0
 
         def _numeric(diag, border, row_idx, q, mask):
             # contiguous block sharding: this shard owns global blocks
             # [offset, offset + local_N)
             offset = jax.lax.axis_index(ax) * diag.shape[0]
             # local shard: batched LDL^T (or explicit W = L^{-1}) of owned blocks
+            dt_c = ut_full = None
             if self.explicit_inverse:
                 W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
                     diag, mask, self.block_size, self.zero_tol, self.factor_dtype
                 )
                 fac = (W, d, s)
-                if local:
+                if tridiag:
+                    dt_c, ut_full = _sc_tiles_local_winv(
+                        W, d, s, border, nc, offset
+                    )
+                elif local:
                     contrib = _sc_contribution_local_winv(
                         W, d, s, border, row_idx, nc, assembly, offset
                     )
@@ -150,15 +162,25 @@ class ShardedSchurComplementSolver(LinearSolver):
                     diag, mask, self.block_size, self.zero_tol
                 )
                 fac = (fac, jnp.zeros(0), jnp.zeros(0))
-                if local:
+                if tridiag:
+                    dt_c, ut_full = _sc_tiles_local(fac[0], border, nc, offset)
+                elif local:
                     contrib = _sc_contribution_local(
                         fac[0], border, row_idx, nc, assembly, offset
                     )
                 else:
                     contrib = _sc_contribution(fac[0], border, mask)
             # S = Q - psum_i A_i K_i^{-1} A_i^T  (ICI all-reduce;
-            # reference: comm.Allreduce of SC data, :343)
-            sc = q - jax.lax.psum(contrib, ax)
+            # reference: comm.Allreduce of SC data, :343).  In tile form the
+            # payload is O(nc*ns) instead of the dense O(nc^2).
+            if tridiag:
+                q_tri = extract_tridiag(q, ns)
+                sc = BlockTridiag(
+                    diag=q_tri.diag - jax.lax.psum(dt_c, ax),
+                    upper=q_tri.upper - jax.lax.psum(ut_full[:-1], ax),
+                )
+            else:
+                sc = q - jax.lax.psum(contrib, ax)
             blk_inertia = jax.lax.psum(blk_inertia, ax)
             blk_status = jax.lax.pmax(blk_status, ax)
             # replicated SC factorization on every shard (reference :352-360)
@@ -172,7 +194,11 @@ class ShardedSchurComplementSolver(LinearSolver):
         row_idx_arg = kkt.row_idx if local else jnp.zeros(
             (kkt.diag.shape[0], 1), dtype=jnp.int32
         )
-        sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), self._sc_fact_struct(kkt))
+        if tridiag:
+            sc_struct = self.sc_solver.fact_struct(nc // ns, ns, kkt.q.dtype)
+        else:
+            sc_struct = self._sc_fact_struct(kkt)
+        sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), sc_struct)
         fac_specs = (
             (P(ax), P(ax), P(ax)) if self.explicit_inverse else (P(ax), P(), P())
         )
@@ -243,27 +269,34 @@ class ShardedSchurComplementSolver(LinearSolver):
             x = apply_blocks(fac, rhs2)
             return x, y
 
+        adaptive = self.adaptive_refine
+        trigger = self.refine_trigger
+
         def _solve(fac, border, row_idx, sc_fact, diag, q, blocks, coupling):
             x, y = solve_once(fac, border, row_idx, sc_fact, blocks, coupling)
             x = x.astype(blocks.dtype)
             y = y.astype(coupling.dtype)
-            for _ in range(refine):
-                shard_view = SchurFactor(
-                    block_LD=None,
-                    block_W=None,
-                    block_d=None,
-                    block_s=None,
-                    diag=diag,
-                    q=q,
-                    border=None if local else border,
-                    border_loc=border if local else None,
-                    row_idx=row_idx,
-                    sc_fact=None,
-                    inertia=None,
-                    status=None,
-                    nk=nk,
-                    nc=nc,
-                )
+            if refine == 0 and not adaptive:
+                return x, y
+            shard_view = SchurFactor(
+                block_LD=None,
+                block_W=None,
+                block_d=None,
+                block_s=None,
+                diag=diag,
+                q=q,
+                border=None if local else border,
+                border_loc=border if local else None,
+                row_idx=row_idx,
+                sc_fact=None,
+                inertia=None,
+                status=None,
+                nk=nk,
+                nc=nc,
+            )
+
+            def refine_pass(xy):
+                x, y = xy
                 kx = _kkt_matvec(
                     shard_view, BlockRhs(blocks=x, coupling=y), psum_axis=ax
                 )
@@ -275,8 +308,20 @@ class ShardedSchurComplementSolver(LinearSolver):
                     blocks - kx.blocks,
                     coupling - kx.coupling,
                 )
-                x = x + dx.astype(x.dtype)
-                y = y + dy.astype(y.dtype)
+                return x + dx.astype(x.dtype), y + dy.astype(y.dtype)
+
+            if adaptive:
+                need = _refine_probe(
+                    shard_view,
+                    BlockRhs(blocks=blocks, coupling=coupling),
+                    BlockRhs(blocks=x, coupling=y),
+                    trigger,
+                    psum_axis=ax,
+                )
+                x, y = jax.lax.cond(need, refine_pass, lambda xy: xy, (x, y))
+            else:
+                for _ in range(refine):
+                    x, y = refine_pass((x, y))
             return x, y
 
         if inv:
