@@ -227,9 +227,17 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             repl = NamedSharding(self.mesh, P())
 
             def place(a):
-                if a.ndim >= 1 and a.shape[0] == self.N:
-                    return jax.device_put(a, shard)
-                return jax.device_put(a, repl)
+                sharding = (
+                    shard if a.ndim >= 1 and a.shape[0] == self.N else repl
+                )
+                # make_array_from_callback (not device_put): works when the
+                # mesh spans multiple processes — every process contributes
+                # the shards its local devices own (the iterate is built
+                # identically on all processes)
+                host = np.asarray(a)
+                return jax.make_array_from_callback(
+                    host.shape, sharding, lambda idx: host[idx]
+                )
 
             state = jax.tree_util.tree_map(place, state)
         return state
