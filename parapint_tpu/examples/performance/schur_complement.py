@@ -4,23 +4,24 @@ TPU transcription of the reference's synthetic structured-least-squares
 benchmark (/root/reference/parapint/examples/performance/schur_complement/):
 each block b solves  min ||y - y_hat_b||^2  s.t.  y = A q,  P q = theta
 with the first n_theta entries of q shared across blocks through coupling
-variables theta.  The per-block KKT (create_model.py:23-47) is
+variables theta.  The per-block KKT (create_model.py:23-47), in the
+quasi-definite [y, nu, q, lam] ordering (see SyntheticModel.__post_init__):
 
-    [2I   0    I    0  ] [y  ]   [2 y_hat]
-    [0    0   -A^T  P^T] [q  ] = [0      ]
-    [I   -A    0    0  ] [nu ]   [0      ]
-    [0    P    0    0  ] [lam]   [0      ]
+    [2I   I    0    0  ] [y  ]   [2 y_hat]
+    [I    0   -A    0  ] [nu ] = [0      ]
+    [0   -A^T  0    P^T] [q  ]   [0      ]
+    [0    0    P    0  ] [lam]   [0      ]
 
 with border rows -P_d^T linking lam to the global theta block.  Correctness
 is recovery of the planted q/theta (create_model.py:60-64).
 
 Methods (main.py:84-102): fs = full-space dense factorization,
-ssc = serial (batched) Schur complement, psc = sharded Schur complement.
-
-Sizes here default much smaller than the reference's
-(n_q_per_block=5000, n_y_multiplier=120) because the per-block solve is a
-*dense* batched factorization rather than sparse MA27; the structure and
-measured phases (symbolic / numeric / back-solve) are identical.
+ssc = serial (batched) Schur complement, psc = sharded Schur complement,
+plus csc = condensed structured solver
+(:mod:`parapint_tpu.linalg.condensed`), which exploits the banded
+least-squares block structure and runs the reference's DEFAULT sizes
+(n_q_per_block=5000, n_y_multiplier=120 -> 605k variables per block,
+main.py:63-73) that the dense methods cannot touch.
 """
 
 import dataclasses
@@ -60,26 +61,71 @@ class SyntheticModel:
         nq = self.n_q_per_block
         ny = nq * self.n_y_multiplier
         nt = self.n_theta
+        p = (self.A_nnz_per_row - 1) // 2
+        self.half_bw = p
         self.n_y_per_block = ny
-        self.A = np.concatenate(
-            [_banded(nq, self.A_nnz_per_row, rng) for _ in range(self.n_y_multiplier)],
-            axis=0,
-        )  # (ny, nq)
+        # band-first construction (utils.py:24-31 structure): the condensed
+        # method never materializes A densely, which is what makes the
+        # reference's default scale (600k-variable blocks) runnable
+        self.A_bands = np.zeros((self.n_y_multiplier, 2 * p + 1, nq))
+        ids = np.arange(nq)
+        for j in range(self.n_y_multiplier):
+            for d in range(-p, p + 1):
+                v = rng.normal(loc=0.0, scale=5.0, size=nq)
+                self.A_bands[j, d + p] = np.where(
+                    (ids + d >= 0) & (ids + d < nq), v, 0.0
+                )
+        self._A_dense = None
         self.theta = rng.normal(loc=5.0, scale=2.0, size=nt)
         self.q_true = np.zeros((self.n_blocks, nq))
         self.y_hat = np.zeros((self.n_blocks, ny))
         for b in range(self.n_blocks):
             q = rng.normal(loc=5.0, scale=2.0, size=nq)
             q[:nt] = self.theta
-            y = self.A @ q
+            y = self._band_matvec(q)
             y += rng.normal(0.0, 0.01 * np.abs(y).max(), size=ny)
             self.q_true[b] = q
             self.y_hat[b] = y
-        # per-block layout [y, q, nu, lam]
-        self.nk = ny + nq + ny + nt
-        self.off_q = ny
-        self.off_nu = ny + nq
-        self.off_lam = ny + nq + ny
+        # Per-block layout [y, nu, q, lam] — the quasi-definite elimination
+        # order for the UNPIVOTED batched LDL^T: pivots arrive as
+        # 2 (y), -1/2 (nu), 2A^TA SPD (q), -P G^{-1} P^T (lam), all nonzero.
+        # The reference's [y, q, nu, lam] ordering (create_model.py:28-47)
+        # is fine for pivoted MA27 but gives an exactly-zero pivot at the
+        # first q column without pivoting.
+        self.nk = ny + ny + nq + nt
+        self.off_nu = ny
+        self.off_q = 2 * ny
+        self.off_lam = 2 * ny + nq
+
+    def _band_matvec(self, q: np.ndarray) -> np.ndarray:
+        """A @ q from the band store (numpy, setup-time only)."""
+        nm, nb, nq = self.A_bands.shape
+        p = (nb - 1) // 2
+        out = np.zeros((nm, nq))
+        for d in range(-p, p + 1):
+            lo, hi = max(0, -d), min(nq, nq - d)
+            out[:, lo:hi] += (
+                self.A_bands[:, d + p, lo:hi] * q[lo + d : hi + d]
+            )
+        return out.reshape(-1)
+
+    @property
+    def A(self) -> np.ndarray:
+        """Dense A (built lazily; only the dense methods need it)."""
+        if self._A_dense is None:
+            nm, nb, nq = self.A_bands.shape
+            p = (nb - 1) // 2
+            blocks = []
+            for j in range(nm):
+                m = np.zeros((nq, nq))
+                for d in range(-p, p + 1):
+                    lo, hi = max(0, -d), min(nq, nq - d)
+                    m[np.arange(lo, hi), np.arange(lo, hi) + d] = self.A_bands[
+                        j, d + p, lo:hi
+                    ]
+                blocks.append(m)
+            self._A_dense = np.concatenate(blocks, axis=0)
+        return self._A_dense
 
     def build_block_diag(self) -> np.ndarray:
         ny, nq, nt, nk = self.n_y_per_block, self.n_q_per_block, self.n_theta, self.nk
@@ -145,6 +191,7 @@ class Result:
     numeric_time: float = 0.0
     back_solve_time: float = 0.0
     total_time: float = 0.0
+    status: int = 0  # LinearSolverStatus of the numeric factorization
 
 
 def run(
@@ -180,6 +227,33 @@ def run(
         jax.block_until_ready(x)
         t3 = time.time()
         sol_blocks = np.asarray(x)[: n_blocks * m.nk].reshape(n_blocks, m.nk)
+    elif method == "csc":
+        # condensed structured method: exploits the banded least-squares
+        # block structure (y/nu eliminated analytically, banded G = 2A^T A
+        # factored by cyclic reduction) — runs the reference's DEFAULT sizes
+        # (n_q_per_block=5000, n_y_multiplier=120, main.py:63-73), which the
+        # dense methods cannot
+        from parapint_tpu.linalg import CondensedLSQKKT, CondensedLSQSolver
+        from parapint_tpu.linalg.schur import BlockRhs as _BlockRhs
+
+        solver = CondensedLSQSolver(tile_size=block_size)
+        kkt = CondensedLSQKKT(
+            A_bands=jnp.asarray(m.A_bands),
+            q_c=jnp.zeros((n_theta, n_theta)),
+            n_t=n_theta,
+            n_blocks=n_blocks,
+        )
+        rhs = m.build_rhs()
+        t0 = time.time()
+        solver.symbolic(kkt)
+        t1 = time.time()
+        fact = jax.jit(solver.numeric)(kkt)
+        jax.block_until_ready(fact)
+        t2 = time.time()
+        x = jax.jit(lambda f, r: solver.solve(f, r, kkt=kkt))(fact, rhs)
+        jax.block_until_ready(x)
+        t3 = time.time()
+        sol_blocks = x.blocks
     else:
         if method == "ssc":
             solver = pt.SchurComplementSolver(block_size=block_size)
@@ -208,6 +282,7 @@ def run(
         t3 = time.time()
         sol_blocks = x.blocks
 
+    res.status = int(solver.status(fact))
     res.max_err = m.check_result(sol_blocks)
     res.symbolic_time = t1 - t0
     res.numeric_time = t2 - t1
@@ -219,6 +294,7 @@ def run(
             "fs": "Full Space",
             "ssc": "Serial Schur-Complement",
             "psc": "Parallel Schur-Complement",
+            "csc": "Condensed Structured SC",
         }
         print(
             f"{'method':<30}{'# devices':<12}{'# blocks':<12}{'n_q_per_block':<15}"
@@ -240,7 +316,9 @@ def main():
     import argparse
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--method", type=str, required=True, choices={"fs", "ssc", "psc"})
+    parser.add_argument(
+        "--method", type=str, required=True, choices={"fs", "ssc", "psc", "csc"}
+    )
     parser.add_argument("--n_blocks", type=int, required=True)
     parser.add_argument("--n_q_per_block", type=int, default=256)
     parser.add_argument("--n_y_multiplier", type=int, default=2)

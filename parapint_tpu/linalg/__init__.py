@@ -20,6 +20,7 @@ from parapint_tpu.linalg.sharded_schur import ShardedSchurComplementSolver
 from parapint_tpu.linalg.host_bk import HostBKSolver
 from parapint_tpu.linalg.pcg_schur import PCGSchurComplementSolver
 from parapint_tpu.linalg.tridiag import BlockTridiag, BlockTridiagSolver
+from parapint_tpu.linalg.condensed import CondensedLSQKKT, CondensedLSQSolver
 
 __all__ = [
     "LinearSolverStatus",
@@ -36,4 +37,6 @@ __all__ = [
     "PCGSchurComplementSolver",
     "BlockTridiag",
     "BlockTridiagSolver",
+    "CondensedLSQKKT",
+    "CondensedLSQSolver",
 ]

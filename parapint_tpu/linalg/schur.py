@@ -42,6 +42,7 @@ from parapint_tpu.linalg.dense import DenseLDLSolver
 from parapint_tpu.linalg.results import LinearSolverResults, LinearSolverStatus
 from parapint_tpu.ops.ldl import (
     ldl_factor,
+    ldl_factor_batched,
     ldl_inertia,
     ldl_solve,
     ldl_winv,
@@ -204,7 +205,7 @@ def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: 
     """Batched LDL^T of the diagonal blocks + per-block inertia/status."""
     nk = diag.shape[-1]
     bs = min(block_size, max(8, nk))
-    LD, d = jax.vmap(lambda a: ldl_factor(a, block_size=bs))(diag)
+    LD, d = ldl_factor_batched(diag, block_size=bs)
     pos, neg, zero = jax.vmap(lambda dd: ldl_inertia(dd, n=nk, zero_tol=zero_tol))(d)
     ok = (pos + neg) == nk
     # padding blocks are identity: always ok, contribute nothing

