@@ -144,32 +144,31 @@ def assemble_block_diag(
     dt = data.hess.dtype
 
     def one(hess, jeq, jineq, sx, ss, em, im, xm, lr, lm):
-        K = jnp.zeros((nk, nk), dtype=dt)
+        # Build K as ONE concatenation of block rows (layout
+        # [x, s, y_eq, y_ineq, lam]) instead of ~12 sequential .at[].set()
+        # scatters into a zero matrix: the sets materialize as repeated
+        # full-matrix dynamic-update-slices (O(nk^2) HBM traffic each),
+        # while the concatenate is a single fused write of the result.
         hblk = hess + jnp.diag(jnp.where(xm, sx + w_reg, 1.0))
-        K = K.at[off_x : off_x + n, off_x : off_x + n].set(hblk)
-        K = K.at[off_s : off_s + mi, off_s : off_s + mi].set(
-            jnp.diag(jnp.where(im, ss, 1.0))
-        )
-        K = K.at[off_yeq : off_yeq + me, off_x : off_x + n].set(jeq)
-        K = K.at[off_x : off_x + n, off_yeq : off_yeq + me].set(jeq.T)
-        K = K.at[off_yineq : off_yineq + mi, off_x : off_x + n].set(jineq)
-        K = K.at[off_x : off_x + n, off_yineq : off_yineq + mi].set(jineq.T)
         s_coupling = -jnp.diag(im.astype(dt))
-        K = K.at[off_yineq : off_yineq + mi, off_s : off_s + mi].set(s_coupling)
-        K = K.at[off_s : off_s + mi, off_yineq : off_yineq + mi].set(s_coupling)
-        K = K.at[off_yeq : off_yeq + me, off_yeq : off_yeq + me].set(
-            jnp.diag(jnp.where(em, -c_reg, -1.0))
-        )
-        K = K.at[off_yineq : off_yineq + mi, off_yineq : off_yineq + mi].set(
-            jnp.diag(jnp.where(im, -c_reg, -1.0))
-        )
+        z = lambda r, c: jnp.zeros((r, c), dtype=dt)
+        row_x = [hblk, z(n, mi), jeq.T, jineq.T]
+        row_s = [z(mi, n), jnp.diag(jnp.where(im, ss, 1.0)), z(mi, me), s_coupling]
+        row_yeq = [jeq, z(me, mi), jnp.diag(jnp.where(em, -c_reg, -1.0)), z(me, mi)]
+        row_yineq = [jineq, s_coupling, z(mi, me), jnp.diag(jnp.where(im, -c_reg, -1.0))]
+        rows = [row_x, row_s, row_yeq, row_yineq]
         if n_link:
-            K = K.at[off_lam : off_lam + n_link, off_x : off_x + n].set(lr)
-            K = K.at[off_x : off_x + n, off_lam : off_lam + n_link].set(lr.T)
-            K = K.at[off_lam : off_lam + n_link, off_lam : off_lam + n_link].set(
-                jnp.diag(jnp.where(lm, -c_reg, -1.0))
+            row_x.append(lr.T)
+            row_s.append(z(mi, n_link))
+            row_yeq.append(z(me, n_link))
+            row_yineq.append(z(mi, n_link))
+            rows.append(
+                [lr, z(n_link, mi), z(n_link, me), z(n_link, mi),
+                 jnp.diag(jnp.where(lm, -c_reg, -1.0))]
             )
-        return K
+        return jnp.concatenate(
+            [jnp.concatenate(r, axis=1) for r in rows], axis=0
+        )
 
     return jax.vmap(one)(
         data.hess,
