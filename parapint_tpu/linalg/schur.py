@@ -223,14 +223,27 @@ def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: 
 
 
 def _factor_blocks_winv(
-    diag, mask, block_size: int, zero_tol: float, factor_dtype=None
+    diag, mask, block_size: int, zero_tol: float, factor_dtype=None,
+    apply_dtype=None,
 ):
     """Like :func:`_factor_blocks` but returns (W, d, s) with W = L^{-1} of
     the Ruiz-equilibrated blocks (K_i^{-1} = s W^T D^{-1} W s), so every
     downstream K_i^{-1} application is two thin batched matmuls.
     Equilibration keeps a lower-precision (``factor_dtype``) factorization's
     pivot signs — and hence the inertia — intact despite the KKT's
-    barrier-term dynamic range."""
+    barrier-term dynamic range.
+
+    ``apply_dtype`` enables the HYBRID-precision path: the LDL^T pivot
+    sweep runs in ``factor_dtype`` (f64 for blocks whose elimination is
+    cancellation-heavy — e.g. single-time-step chain blocks, where an f32
+    sweep cannot even determine pivot signs), the pivots/inertia are read
+    from that accurate factor, and then the factor is *cast down* so the
+    O(n^3) L^{-1} construction and every downstream multi-RHS apply (the
+    bulk of the flops: Schur-complement formation, back solves) run at
+    ``apply_dtype`` (f32) speed.  The cast-induced O(eps_f32) solve error
+    is removed by the solver's f64 iterative refinement; the inertia — the
+    part refinement cannot fix — keeps full factor-dtype fidelity.
+    """
     nk = diag.shape[-1]
     s = jax.vmap(ruiz_scale)(diag)  # (N, nk), computed in input precision
     diag = diag * s[:, :, None] * s[:, None, :]
@@ -238,6 +251,9 @@ def _factor_blocks_winv(
         diag = diag.astype(factor_dtype)
         s = s.astype(factor_dtype)
     LD, inertia, status = _factor_blocks(diag, mask, block_size, zero_tol)
+    if apply_dtype is not None and LD.dtype != apply_dtype:
+        LD = LD.astype(apply_dtype)
+        s = s.astype(apply_dtype)
     bs = min(block_size, max(8, nk))
     W, d = jax.vmap(lambda ld: ldl_winv(ld, bs))(LD)
     return W, d, s, inertia, status
@@ -521,7 +537,9 @@ class SchurComplementSolver(LinearSolver):
         explicit_inverse: bool = False,
         refine_steps: Optional[int] = None,
         factor_dtype=None,
+        apply_dtype=None,
         refine_trigger: float = 1e-5,
+        refine_max_passes: int = 8,
     ):
         self.sc_solver = (
             schur_complement_solver
@@ -539,20 +557,27 @@ class SchurComplementSolver(LinearSolver):
         self.zero_tol = zero_tol
         self.explicit_inverse = explicit_inverse
         self.factor_dtype = factor_dtype
+        # hybrid precision: factor pivots in factor_dtype (e.g. f64 when the
+        # blocks' elimination is cancellation-heavy), every apply in
+        # apply_dtype (f32); see _factor_blocks_winv
+        self.apply_dtype = apply_dtype
         # refine_steps=None -> ADAPTIVE refinement (the default): after each
         # solve a cheap f32 residual probe decides whether the expensive
-        # f64-emulated refinement pass runs at all.  Well-conditioned
+        # f64-emulated refinement passes run at all, iterating (up to
+        # refine_max_passes) until the probe passes.  Well-conditioned
         # problems (e.g. the Burgers benchmark) then run at refine_steps=0
         # speed (the f64 residual matvec is the single largest
-        # per-iteration cost), while problems whose f32 factorization
-        # stalls (LP-like KKTs under TPU f32 matmul semantics) still get
-        # the refinement pass whenever the probe exceeds refine_trigger.
-        # Pass an explicit integer to force a fixed number of passes.
-        self.adaptive_refine = refine_steps is None and explicit_inverse
+        # per-iteration cost), while problems whose factorization carries
+        # noise-floor pivots (see _factor_blocks) or whose f32 solve stalls
+        # keep refining to full step accuracy — and report a solve error if
+        # the cap is hit.  Pass an explicit integer to force a fixed number
+        # of passes.
+        self.adaptive_refine = refine_steps is None
         if refine_steps is None:
             refine_steps = 1
-        self.refine_steps = refine_steps if explicit_inverse else 0
+        self.refine_steps = refine_steps
         self.refine_trigger = refine_trigger
+        self.refine_max_passes = refine_max_passes
 
     def symbolic(self, kkt) -> LinearSolverResults:
         N, nk, nk2 = kkt.diag.shape
@@ -589,7 +614,7 @@ class SchurComplementSolver(LinearSolver):
         if self.explicit_inverse:
             W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
                 kkt.diag, kkt.mask, self.block_size, self.zero_tol,
-                self.factor_dtype,
+                self.factor_dtype, apply_dtype=self.apply_dtype,
             )
             LD = None
             if tridiag:
@@ -610,21 +635,35 @@ class SchurComplementSolver(LinearSolver):
                 sc = kkt.q.astype(W.dtype) - contrib
         else:
             W = d = s = None
+            border_f = kkt.border_loc if local else kkt.border
             LD, blk_inertia, blk_status = _factor_blocks(
                 kkt.diag, kkt.mask, self.block_size, self.zero_tol
             )
+            if self.apply_dtype is not None and LD.dtype != self.apply_dtype:
+                # hybrid precision, LD form: pivots/inertia from the
+                # factor-dtype (f64) sweep, then the factor is cast down so
+                # the multi-RHS triangular solves (SC formation + back
+                # solves) run in apply_dtype.  The cast is a pure per-entry
+                # relative rounding — no cancellation — so the factor stays
+                # a contraction-quality preconditioner even when the sweep
+                # itself would be meaningless in f32; deliberately NO
+                # equilibration here (rescaling turns the huge-but-relative
+                # entries of tiny-pivot eliminations into O(1)-absolute
+                # rounding errors), and no explicit inverse (the W form's
+                # Neumann products overflow f32 on 1e12-scale L entries).
+                LD = LD.astype(self.apply_dtype)
             if tridiag:
-                dt_c, ut_full = _sc_tiles_local(LD, kkt.border_loc, nc)
+                dt_c, ut_full = _sc_tiles_local(LD, border_f, nc)
                 q_tri = extract_tridiag(kkt.q, ns)
                 sc = BlockTridiag(
                     diag=q_tri.diag - dt_c, upper=q_tri.upper - ut_full[:-1]
                 )
             elif local:
                 sc = kkt.q - _sc_contribution_local(
-                    LD, kkt.border_loc, kkt.row_idx, nc, kkt.assembly
+                    LD, border_f, kkt.row_idx, nc, kkt.assembly
                 )
             else:
-                sc = _form_sc(LD, kkt.border, kkt.q, kkt.mask)
+                sc = _form_sc(LD, border_f, kkt.q, kkt.mask)
         sc_fact = self.sc_solver.numeric(sc)
         sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
         inertia = blk_inertia + jnp.stack([sc_pos, sc_neg, sc_zero])
@@ -651,6 +690,7 @@ class SchurComplementSolver(LinearSolver):
         """K_i^{-1} b_i for every block (in the factor's dtype)."""
         if fact.block_W is not None:
             return _winv_apply_batched(fact.block_W, fact.block_d, fact.block_s, b)
+        b = b.astype(fact.block_LD.dtype)
         return jax.vmap(lambda ld, bb: ldl_solve(ld, bb))(fact.block_LD, b)[
             :, : fact.nk
         ]
@@ -681,7 +721,13 @@ class SchurComplementSolver(LinearSolver):
         x = self._apply_blocks(fact, rhs2)
         return BlockRhs(blocks=x, coupling=y)
 
-    def solve(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
+    def _solve_refined(self, fact: SchurFactor, rhs: BlockRhs):
+        """(solution, refined_ok).  Adaptive mode iterates the refinement
+        pass until the f32 residual probe passes (or ``refine_max_passes``
+        is exhausted — refined_ok False then reports the stall): a single
+        pass is not enough when rescued (signed-shift) factors contract
+        the error only by ~sqrt(eps) per pass."""
+
         def up(b: BlockRhs) -> BlockRhs:  # promote to the rhs (f64) dtype
             return BlockRhs(
                 blocks=b.blocks.astype(rhs.blocks.dtype),
@@ -700,12 +746,36 @@ class SchurComplementSolver(LinearSolver):
 
         x = up(self._solve_once(fact, rhs))
         if self.adaptive_refine:
-            need = _refine_probe(fact, rhs, x, self.refine_trigger)
-            x = lax.cond(need, refine_pass, lambda x: x, x)
-        else:
-            for _ in range(self.refine_steps):
+            def cond(c):
+                _, it, need = c
+                return jnp.logical_and(need, it < self.refine_max_passes)
+
+            def body(c):
+                x, it, _ = c
                 x = refine_pass(x)
-        return x
+                return x, it + 1, _refine_probe(fact, rhs, x, self.refine_trigger)
+
+            need0 = _refine_probe(fact, rhs, x, self.refine_trigger)
+            x, _, need = lax.while_loop(cond, body, (x, jnp.int32(0), need0))
+            return x, jnp.logical_not(need)
+        for _ in range(self.refine_steps):
+            x = refine_pass(x)
+        return x, jnp.asarray(True)
+
+    def solve(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
+        return self._solve_refined(fact, rhs)[0]
+
+    def solve_with_status(self, fact: SchurFactor, rhs: BlockRhs):
+        x, ok = self._solve_refined(fact, rhs)
+        status = jnp.maximum(
+            self.status(fact),
+            jnp.where(
+                ok,
+                jnp.int32(LinearSolverStatus.successful),
+                jnp.int32(LinearSolverStatus.error),
+            ),
+        )
+        return x, status
 
     def inertia(self, fact: SchurFactor):
         return fact.inertia[0], fact.inertia[1], fact.inertia[2]

@@ -78,6 +78,7 @@ class ShardedSchurComplementSolver(LinearSolver):
         explicit_inverse: bool = False,
         refine_steps: Optional[int] = None,
         factor_dtype=None,
+        apply_dtype=None,
         refine_trigger: float = 1e-5,
     ):
         self.mesh = mesh
@@ -96,6 +97,9 @@ class ShardedSchurComplementSolver(LinearSolver):
         self.zero_tol = zero_tol
         self.explicit_inverse = explicit_inverse
         self.factor_dtype = factor_dtype
+        # hybrid precision (see _factor_blocks_winv): f64 pivot sweep +
+        # f32 applies
+        self.apply_dtype = apply_dtype
         # refine_steps=None -> adaptive refinement (cheap f32 residual probe
         # gates the f64 pass); see SchurComplementSolver.__init__.
         self.adaptive_refine = refine_steps is None and explicit_inverse
@@ -143,7 +147,8 @@ class ShardedSchurComplementSolver(LinearSolver):
             dt_c = ut_full = None
             if self.explicit_inverse:
                 W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
-                    diag, mask, self.block_size, self.zero_tol, self.factor_dtype
+                    diag, mask, self.block_size, self.zero_tol, self.factor_dtype,
+                    apply_dtype=self.apply_dtype,
                 )
                 fac = (W, d, s)
                 if tridiag:

@@ -364,6 +364,7 @@ def ldl_solve(LD: jax.Array, b: jax.Array) -> jax.Array:
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
+    b = b.astype(LD.dtype)  # hybrid-precision path: f32 factor, f64 rhs
     if n != npad:
         b = jnp.pad(b, ((0, npad - n), (0, 0)))
     d = jnp.diagonal(LD)

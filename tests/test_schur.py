@@ -173,3 +173,62 @@ def test_sharded_schur_matches_serial(N, nk, nc):
     pos, neg, zero = sharded.inertia(fact)
     w = np.linalg.eigvalsh(M)
     assert (int(pos), int(neg), int(zero)) == ((w > 0).sum(), (w < 0).sum(), 0)
+
+
+def test_hybrid_precision_factor():
+    """factor_dtype=f64 + apply_dtype=f32: pivots/inertia keep f64 fidelity
+    while W/d/s (every downstream apply) are f32; adaptive refinement
+    restores f64 solution accuracy.  This is the production path for blocks
+    whose elimination is too cancellation-heavy for an all-f32 sweep (e.g.
+    single-time-step chain blocks)."""
+    import jax.numpy as jnp
+
+    diag, border, q = make_system(4, 12, 5, seed=4)
+    # make the system indefinite so the inertia is nontrivial
+    for i in range(4):
+        diag[i][6:, 6:] *= -1.0
+        diag[i] = 0.5 * (diag[i] + diag[i].T)
+    M = dense_assemble(diag, border, q)
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal(M.shape[0])
+    rhs = M @ x_true
+    rhs_blocks = rhs[:48].reshape(4, 12)
+    rhs_coupling = rhs[48:]
+
+    solver = SchurComplementSolver(
+        block_size=8, explicit_inverse=True,
+        factor_dtype=jnp.float64, apply_dtype=jnp.float32,
+    )
+    fact, xb, xc = run_solver(solver, diag, border, q, rhs_blocks, rhs_coupling)
+    assert fact.block_W.dtype == jnp.float32
+    assert fact.block_d.dtype == jnp.float32
+    pos, neg, zero = solver.inertia(fact)
+    w = np.linalg.eigvalsh(M)
+    assert (int(pos), int(neg), int(zero)) == ((w > 0).sum(), (w < 0).sum(), 0)
+    assert np.allclose(xb.reshape(-1), x_true[:48], atol=1e-7)
+    assert np.allclose(xc, x_true[48:], atol=1e-7)
+
+
+def test_singular_block_reports_singular():
+    """An exactly singular diagonal block (zero pivot from a zero Hessian
+    row) must surface as a singular factorization so the interior-point
+    inertia-correction loop regularizes — never a silent wrong solve
+    (reference contract: MA27 info flags, ma27_interface.py:197-203)."""
+    diag = np.array(
+        [
+            [[0.0, 1.0], [1.0, -1.0]],
+            [[2.0, 1.0], [1.0, -1.0]],
+        ]
+    )
+    border = np.array([[[0.3, 0.1]], [[0.2, -0.4]]])
+    q = np.array([[5.0]])
+    kkt = BlockKKT.make(jnp.asarray(diag), jnp.asarray(border), jnp.asarray(q))
+    for solver in (
+        SchurComplementSolver(block_size=8),
+        SchurComplementSolver(block_size=8, explicit_inverse=True),
+    ):
+        fact = solver.numeric(kkt)
+        assert (
+            LinearSolverStatus(int(solver.status(fact)))
+            == LinearSolverStatus.singular
+        )
