@@ -66,10 +66,17 @@ def _make_solver():
 
     # refine_steps=0 is validated for this benchmark problem on TPU
     # (converges to tol 1e-8; ~40% faster per iteration than the safe
-    # default of one f64 refinement pass)
+    # default of one f64 refinement pass).  The chain-topology SC is block
+    # tridiagonal: the cyclic-reduction tile solver factors it in
+    # O(N * ns^3) instead of the dense O(((N-1) ns)^3).
+    sc = (
+        None
+        if os.environ.get("PT_BENCH_SC") == "dense"
+        else pt.BlockTridiagSolver()
+    )
     return pt.SchurComplementSolver(
         block_size=128, explicit_inverse=True, factor_dtype=jnp.float32,
-        refine_steps=0,
+        refine_steps=0, schur_complement_solver=sc,
     )
 
 

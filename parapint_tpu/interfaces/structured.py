@@ -244,8 +244,33 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
 
     # -- link helpers -------------------------------------------------------
 
+    @property
+    def _chain_links(self) -> bool:
+        """Chain topology with the [bwd(ns), fwd(ns)] link layout: the
+        coupling gather/scatter become shifted contiguous slices (TPU
+        scatters/gathers serialize; these are pure data movement)."""
+        import os as _os
+
+        if _os.environ.get("PT_BISECT_NO_CHAIN"):
+            return False
+        ns = getattr(self, "ns", 0)
+        return (
+            self.sc_assembly == "chain"
+            and ns > 0
+            and self.n_link == 2 * ns
+            and self.ncv == (self.N - 1) * ns
+        )
+
     def _gather_coupling(self, c):
         """c values seen by each block's link rows: (N, n_link)."""
+        if self._chain_links:
+            ns = self.ns
+            z = jnp.zeros((1, ns), dtype=c.dtype)
+            ext = jnp.concatenate([z, c.reshape(-1, ns), z], axis=0)
+            # bwd rows of block b read group b-1 = ext[b]; fwd read ext[b+1]
+            return jnp.concatenate(
+                [ext[: self.N], ext[1 : self.N + 1]], axis=1
+            )
         c_pad = jnp.concatenate([c, jnp.zeros(1, dtype=c.dtype)])
         return c_pad[self.row_idx]
 
@@ -259,6 +284,10 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
 
     def _scatter_link_duals_to_coupling(self, duals_eq):
         lam = self._link_duals(duals_eq)
+        if self._chain_links:
+            ns = self.ns
+            # group g collects fwd duals of block g and bwd duals of g+1
+            return (lam[: self.N - 1, ns:] + lam[1:, :ns]).reshape(self.ncv)
         out = jnp.zeros(self.ncv + 1)
         out = out.at[self.row_idx].add(lam)
         return out[: self.ncv]

@@ -43,6 +43,7 @@ from parapint_tpu.linalg.results import LinearSolverResults, LinearSolverStatus
 from parapint_tpu.ops.ldl import (
     ldl_factor,
     ldl_factor_batched,
+    ldl_factor_winv_batched,
     ldl_inertia,
     ldl_solve,
     ldl_winv,
@@ -155,6 +156,12 @@ class SchurFactor:
     status: jax.Array  # () int32
     nk: int = dataclasses.field(metadata=dict(static=True))
     nc: int = dataclasses.field(metadata=dict(static=True))
+    # border topology ("scatter"/"shared"/"chain", see LocalBlockKKT): chain
+    # dispatches the scatter-free border application in the solves/matvecs
+    assembly: str = dataclasses.field(metadata=dict(static=True), default="scatter")
+    # first global coupling group of this shard's blocks (sharded chain
+    # path; None = 0)
+    group_offset: object = None
 
 
 def pad_block_count(kkt, multiple: int):
@@ -201,11 +208,8 @@ def pad_block_count(kkt, multiple: int):
     return BlockKKT(diag=diag, border=border, q=kkt.q, mask=mask)
 
 
-def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: float):
-    """Batched LDL^T of the diagonal blocks + per-block inertia/status."""
-    nk = diag.shape[-1]
-    bs = min(block_size, max(8, nk))
-    LD, d = ldl_factor_batched(diag, block_size=bs)
+def _inertia_status(d: jax.Array, nk: int, mask: jax.Array, zero_tol: float):
+    """Masked batch inertia + merged status from the per-block pivots."""
     pos, neg, zero = jax.vmap(lambda dd: ldl_inertia(dd, n=nk, zero_tol=zero_tol))(d)
     ok = (pos + neg) == nk
     # padding blocks are identity: always ok, contribute nothing
@@ -219,6 +223,15 @@ def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: 
         jnp.int32(LinearSolverStatus.singular),
         jnp.int32(LinearSolverStatus.successful),
     )
+    return inertia, status
+
+
+def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: float):
+    """Batched LDL^T of the diagonal blocks + per-block inertia/status."""
+    nk = diag.shape[-1]
+    bs = min(block_size, max(8, nk))
+    LD, d = ldl_factor_batched(diag, block_size=bs)
+    inertia, status = _inertia_status(d, nk, mask, zero_tol)
     return LD, inertia, status
 
 
@@ -245,16 +258,37 @@ def _factor_blocks_winv(
     part refinement cannot fix — keeps full factor-dtype fidelity.
     """
     nk = diag.shape[-1]
-    s = jax.vmap(ruiz_scale)(diag)  # (N, nk), computed in input precision
-    diag = diag * s[:, :, None] * s[:, None, :]
-    if factor_dtype is not None:
-        diag = diag.astype(factor_dtype)
-        s = s.astype(factor_dtype)
+    # cast FIRST, then equilibrate in factor_dtype: the Ruiz sweeps are 3-4
+    # full passes over the (N, nk, nk) batch, by far the largest memory
+    # traffic of this function when the input is f64 — the scale factors
+    # themselves only need ~1e-3 relative accuracy, so computing them on the
+    # already-cast matrix is equivalent
+    import os as _os
+
+    if _os.environ.get("PT_BISECT_RUIZ_F64"):
+        s = jax.vmap(ruiz_scale)(diag)
+        diag = diag * s[:, :, None] * s[:, None, :]
+        if factor_dtype is not None:
+            diag = diag.astype(factor_dtype)
+            s = s.astype(factor_dtype)
+    else:
+        if factor_dtype is not None:
+            diag = diag.astype(factor_dtype)
+        s = jax.vmap(ruiz_scale)(diag)  # (N, nk)
+        diag = diag * s[:, :, None] * s[:, None, :]
+    bs = min(block_size, max(8, nk))
+    if (apply_dtype is None or apply_dtype == diag.dtype) and not _os.environ.get(
+        "PT_BISECT_NO_FUSED_WINV"
+    ):
+        # fused factor + W sweep: panel inverses come out of the factor
+        # kernel, the global W is assembled by recursive halving from them
+        LD, d, W = ldl_factor_winv_batched(diag, block_size=bs)
+        inertia, status = _inertia_status(d, nk, mask, zero_tol)
+        return W, d, s, inertia, status
     LD, inertia, status = _factor_blocks(diag, mask, block_size, zero_tol)
-    if apply_dtype is not None and LD.dtype != apply_dtype:
+    if LD.dtype != apply_dtype:
         LD = LD.astype(apply_dtype)
         s = s.astype(apply_dtype)
-    bs = min(block_size, max(8, nk))
     W, d = jax.vmap(lambda ld: ldl_winv(ld, bs))(LD)
     return W, d, s, inertia, status
 
@@ -456,6 +490,68 @@ def _border_T_apply_local(border_loc, row_idx, y):
     )
 
 
+def _chain_border_ok(assembly, border_loc, nc: int) -> bool:
+    """True when the scatter-free chain border application applies."""
+    import os as _os
+
+    if _os.environ.get("PT_BISECT_NO_CHAIN"):
+        return False
+    if assembly != "chain" or border_loc is None:
+        return False
+    L = border_loc.shape[1]
+    ns = L // 2
+    return L % 2 == 0 and ns > 0 and nc > 0 and nc % ns == 0
+
+
+def _border_apply_chain(border_loc, v, nc: int, group_offset=None):
+    """Chain-topology sum_i P_i A_i v_i -> (nc,) with NO scatter.
+
+    Rows [0, ns) of block b target coupling group b-1, rows [ns, 2ns)
+    target group b (the dynamic-interface link layout); the scatter-add of
+    :func:`_border_apply_local` serializes on TPU (~4 ms at 64 blocks),
+    while these two shifted contiguous placements are pure data movement.
+    Out-of-range rows (block 0 backward / last block forward, and the
+    sharded case's halo) land in sacrificial border rows; their border_loc
+    rows are all-zero by the link masks, so they contribute nothing.
+    """
+    L = border_loc.shape[1]
+    ns = L // 2
+    ng = nc // ns
+    contrib = jnp.einsum(
+        "bli,bi->bl", border_loc, v, preferred_element_type=v.dtype
+    )
+    bwd = contrib[:, :ns]
+    fwd = contrib[:, ns:]
+    off = group_offset if group_offset is not None else 0
+
+    def place(rows, start):
+        out = jnp.zeros((ng + 2, ns), dtype=v.dtype)
+        idx = jnp.asarray(start + 1, dtype=jnp.int32)
+        out = lax.dynamic_update_slice(out, rows, (idx, jnp.int32(0)))
+        return out[1 : ng + 1]
+
+    return (place(fwd, off) + place(bwd, off - 1)).reshape(nc)
+
+
+def _border_T_apply_chain(border_loc, y, group_offset=None):
+    """Chain-topology A_i^T P_i^T y per block -> (N, nk) with NO gather:
+    each block reads two contiguous coupling groups (see
+    :func:`_border_apply_chain`)."""
+    Nb, L, _ = border_loc.shape
+    ns = L // 2
+    yg = y.reshape(-1, ns)
+    off = group_offset if group_offset is not None else 0
+    z = jnp.zeros((1, ns), dtype=y.dtype)
+    ext = jnp.concatenate([z, yg, z], axis=0)  # ext[g + 1] = group g
+    offi = jnp.asarray(off, dtype=jnp.int32)
+    bwd_y = lax.dynamic_slice(ext, (offi, jnp.int32(0)), (Nb, ns))
+    fwd_y = lax.dynamic_slice(ext, (offi + 1, jnp.int32(0)), (Nb, ns))
+    y_loc = jnp.concatenate([bwd_y, fwd_y], axis=1)  # (Nb, L)
+    return jnp.einsum(
+        "bli,bl->bi", border_loc, y_loc, preferred_element_type=y.dtype
+    )
+
+
 def _kkt_matvec(
     fact: "SchurFactor", x: "BlockRhs", psum_axis=None, dtype=None
 ) -> "BlockRhs":
@@ -477,7 +573,10 @@ def _kkt_matvec(
         border = None if border is None else border.astype(dtype)
         border_loc = None if border_loc is None else border_loc.astype(dtype)
     bx = jnp.einsum("bij,bj->bi", diag, xb, preferred_element_type=xb.dtype)
-    if border_loc is not None:
+    if _chain_border_ok(fact.assembly, border_loc, fact.nc):
+        bx = bx + _border_T_apply_chain(border_loc, xc, fact.group_offset)
+        cy = _border_apply_chain(border_loc, xb, fact.nc, fact.group_offset)
+    elif border_loc is not None:
         bx = bx + _border_T_apply_local(border_loc, fact.row_idx, xc)
         cy = _border_apply_local(border_loc, fact.row_idx, xb, fact.nc)
     else:
@@ -611,34 +710,41 @@ class SchurComplementSolver(LinearSolver):
         local = isinstance(kkt, LocalBlockKKT)
         tridiag = self._use_tridiag_sc(kkt)
         ns = kkt.border_loc.shape[1] // 2 if local else 0
+        # phase labels mirror the reference solver's internal timers
+        # ("factorize diagonal blocks" / "form SC" / "factorize SC",
+        # mpi_explicit_schur_complement.py:207-360) so jax.profiler traces
+        # attribute per-phase device time the same way MPI rank timings do
         if self.explicit_inverse:
-            W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
-                kkt.diag, kkt.mask, self.block_size, self.zero_tol,
-                self.factor_dtype, apply_dtype=self.apply_dtype,
-            )
+            with jax.named_scope("sc_solver.factor_blocks"):
+                W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
+                    kkt.diag, kkt.mask, self.block_size, self.zero_tol,
+                    self.factor_dtype, apply_dtype=self.apply_dtype,
+                )
             LD = None
-            if tridiag:
-                dt_c, ut_full = _sc_tiles_local_winv(
-                    W, d, s, kkt.border_loc, nc
-                )
-                q_tri = extract_tridiag(kkt.q.astype(W.dtype), ns)
-                sc = BlockTridiag(
-                    diag=q_tri.diag - dt_c, upper=q_tri.upper - ut_full[:-1]
-                )
-            elif local:
-                contrib = _sc_contribution_local_winv(
-                    W, d, s, kkt.border_loc, kkt.row_idx, nc, kkt.assembly
-                )
-                sc = kkt.q.astype(W.dtype) - contrib
-            else:
-                contrib = _sc_contribution_winv(W, d, s, kkt.border, kkt.mask)
-                sc = kkt.q.astype(W.dtype) - contrib
+            with jax.named_scope("sc_solver.form_sc"):
+                if tridiag:
+                    dt_c, ut_full = _sc_tiles_local_winv(
+                        W, d, s, kkt.border_loc, nc
+                    )
+                    q_tri = extract_tridiag(kkt.q.astype(W.dtype), ns)
+                    sc = BlockTridiag(
+                        diag=q_tri.diag - dt_c, upper=q_tri.upper - ut_full[:-1]
+                    )
+                elif local:
+                    contrib = _sc_contribution_local_winv(
+                        W, d, s, kkt.border_loc, kkt.row_idx, nc, kkt.assembly
+                    )
+                    sc = kkt.q.astype(W.dtype) - contrib
+                else:
+                    contrib = _sc_contribution_winv(W, d, s, kkt.border, kkt.mask)
+                    sc = kkt.q.astype(W.dtype) - contrib
         else:
             W = d = s = None
             border_f = kkt.border_loc if local else kkt.border
-            LD, blk_inertia, blk_status = _factor_blocks(
-                kkt.diag, kkt.mask, self.block_size, self.zero_tol
-            )
+            with jax.named_scope("sc_solver.factor_blocks"):
+                LD, blk_inertia, blk_status = _factor_blocks(
+                    kkt.diag, kkt.mask, self.block_size, self.zero_tol
+                )
             if self.apply_dtype is not None and LD.dtype != self.apply_dtype:
                 # hybrid precision, LD form: pivots/inertia from the
                 # factor-dtype (f64) sweep, then the factor is cast down so
@@ -652,19 +758,21 @@ class SchurComplementSolver(LinearSolver):
                 # rounding errors), and no explicit inverse (the W form's
                 # Neumann products overflow f32 on 1e12-scale L entries).
                 LD = LD.astype(self.apply_dtype)
-            if tridiag:
-                dt_c, ut_full = _sc_tiles_local(LD, border_f, nc)
-                q_tri = extract_tridiag(kkt.q, ns)
-                sc = BlockTridiag(
-                    diag=q_tri.diag - dt_c, upper=q_tri.upper - ut_full[:-1]
-                )
-            elif local:
-                sc = kkt.q - _sc_contribution_local(
-                    LD, border_f, kkt.row_idx, nc, kkt.assembly
-                )
-            else:
-                sc = _form_sc(LD, border_f, kkt.q, kkt.mask)
-        sc_fact = self.sc_solver.numeric(sc)
+            with jax.named_scope("sc_solver.form_sc"):
+                if tridiag:
+                    dt_c, ut_full = _sc_tiles_local(LD, border_f, nc)
+                    q_tri = extract_tridiag(kkt.q, ns)
+                    sc = BlockTridiag(
+                        diag=q_tri.diag - dt_c, upper=q_tri.upper - ut_full[:-1]
+                    )
+                elif local:
+                    sc = kkt.q - _sc_contribution_local(
+                        LD, border_f, kkt.row_idx, nc, kkt.assembly
+                    )
+                else:
+                    sc = _form_sc(LD, border_f, kkt.q, kkt.mask)
+        with jax.named_scope("sc_solver.factor_sc"):
+            sc_fact = self.sc_solver.numeric(sc)
         sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
         inertia = blk_inertia + jnp.stack([sc_pos, sc_neg, sc_zero])
         status = jnp.maximum(blk_status, self.sc_solver.status(sc_fact))
@@ -684,6 +792,7 @@ class SchurComplementSolver(LinearSolver):
             status=status,
             nk=nk,
             nc=nc,
+            assembly=kkt.assembly if local else "scatter",
         )
 
     def _apply_blocks(self, fact: SchurFactor, b):
@@ -697,28 +806,40 @@ class SchurComplementSolver(LinearSolver):
 
     def _solve_once(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
         local = fact.border is None
+        chain = _chain_border_ok(fact.assembly, fact.border_loc, fact.nc)
         # local block solves (reference back solve pass 1,
         # explicit_schur_complement.py:144-148)
-        v = self._apply_blocks(fact, rhs.blocks)
-        if local:
-            sc_rhs = rhs.coupling - _border_apply_local(
-                fact.border_loc, fact.row_idx, v, fact.nc
-            )
-        else:
-            sc_rhs = rhs.coupling - jnp.einsum(
-                "bci,bi->c", fact.border, v, preferred_element_type=v.dtype
-            )
-        y = self.sc_solver.solve(fact.sc_fact, sc_rhs)
+        with jax.named_scope("sc_solver.block_solve"):
+            v = self._apply_blocks(fact, rhs.blocks)
+            if chain:
+                sc_rhs = rhs.coupling - _border_apply_chain(
+                    fact.border_loc, v, fact.nc, fact.group_offset
+                )
+            elif local:
+                sc_rhs = rhs.coupling - _border_apply_local(
+                    fact.border_loc, fact.row_idx, v, fact.nc
+                )
+            else:
+                sc_rhs = rhs.coupling - jnp.einsum(
+                    "bci,bi->c", fact.border, v, preferred_element_type=v.dtype
+                )
+        with jax.named_scope("sc_solver.sc_back_solve"):
+            y = self.sc_solver.solve(fact.sc_fact, sc_rhs)
         # second block pass with the coupling solution substituted
-        if local:
-            rhs2 = rhs.blocks - _border_T_apply_local(
-                fact.border_loc, fact.row_idx, y
-            )
-        else:
-            rhs2 = rhs.blocks - jnp.einsum(
-                "bci,c->bi", fact.border, y, preferred_element_type=v.dtype
-            )
-        x = self._apply_blocks(fact, rhs2)
+        with jax.named_scope("sc_solver.back_solve"):
+            if chain:
+                rhs2 = rhs.blocks - _border_T_apply_chain(
+                    fact.border_loc, y, fact.group_offset
+                )
+            elif local:
+                rhs2 = rhs.blocks - _border_T_apply_local(
+                    fact.border_loc, fact.row_idx, y
+                )
+            else:
+                rhs2 = rhs.blocks - jnp.einsum(
+                    "bci,c->bi", fact.border, y, preferred_element_type=v.dtype
+                )
+            x = self._apply_blocks(fact, rhs2)
         return BlockRhs(blocks=x, coupling=y)
 
     def _solve_refined(self, fact: SchurFactor, rhs: BlockRhs):

@@ -39,8 +39,11 @@ from parapint_tpu.linalg.schur import (
     BlockRhs,
     LocalBlockKKT,
     SchurFactor,
+    _border_apply_chain,
     _border_apply_local,
+    _border_T_apply_chain,
     _border_T_apply_local,
+    _chain_border_ok,
     _factor_blocks,
     _factor_blocks_winv,
     _kkt_matvec,
@@ -146,10 +149,11 @@ class ShardedSchurComplementSolver(LinearSolver):
             # local shard: batched LDL^T (or explicit W = L^{-1}) of owned blocks
             dt_c = ut_full = None
             if self.explicit_inverse:
-                W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
-                    diag, mask, self.block_size, self.zero_tol, self.factor_dtype,
-                    apply_dtype=self.apply_dtype,
-                )
+                with jax.named_scope("sc_solver.factor_blocks"):
+                    W, d, s, blk_inertia, blk_status = _factor_blocks_winv(
+                        diag, mask, self.block_size, self.zero_tol,
+                        self.factor_dtype, apply_dtype=self.apply_dtype,
+                    )
                 fac = (W, d, s)
                 if tridiag:
                     dt_c, ut_full = _sc_tiles_local_winv(
@@ -177,19 +181,23 @@ class ShardedSchurComplementSolver(LinearSolver):
                     contrib = _sc_contribution(fac[0], border, mask)
             # S = Q - psum_i A_i K_i^{-1} A_i^T  (ICI all-reduce;
             # reference: comm.Allreduce of SC data, :343).  In tile form the
-            # payload is O(nc*ns) instead of the dense O(nc^2).
-            if tridiag:
-                q_tri = extract_tridiag(q, ns)
-                sc = BlockTridiag(
-                    diag=q_tri.diag - jax.lax.psum(dt_c, ax),
-                    upper=q_tri.upper - jax.lax.psum(ut_full[:-1], ax),
-                )
-            else:
-                sc = q - jax.lax.psum(contrib, ax)
-            blk_inertia = jax.lax.psum(blk_inertia, ax)
-            blk_status = jax.lax.pmax(blk_status, ax)
+            # payload is O(nc*ns) instead of the dense O(nc^2).  The
+            # "communicate" scope mirrors the reference's communicate timer
+            # so profiler traces attribute collective time separately.
+            with jax.named_scope("sc_solver.communicate"):
+                if tridiag:
+                    q_tri = extract_tridiag(q, ns)
+                    sc = BlockTridiag(
+                        diag=q_tri.diag - jax.lax.psum(dt_c, ax),
+                        upper=q_tri.upper - jax.lax.psum(ut_full[:-1], ax),
+                    )
+                else:
+                    sc = q - jax.lax.psum(contrib, ax)
+                blk_inertia = jax.lax.psum(blk_inertia, ax)
+                blk_status = jax.lax.pmax(blk_status, ax)
             # replicated SC factorization on every shard (reference :352-360)
-            sc_fact = self.sc_solver.numeric(sc)
+            with jax.named_scope("sc_solver.factor_sc"):
+                sc_fact = self.sc_solver.numeric(sc)
             sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
             inertia = blk_inertia + jnp.stack([sc_pos, sc_neg, sc_zero])
             status = jnp.maximum(blk_status, self.sc_solver.status(sc_fact))
@@ -230,6 +238,7 @@ class ShardedSchurComplementSolver(LinearSolver):
             status=status,
             nk=kkt.diag.shape[-1],
             nc=nc,
+            assembly=assembly if local else "scatter",
         )
 
     def _sc_fact_struct(self, kkt: BlockKKT):
@@ -245,6 +254,7 @@ class ShardedSchurComplementSolver(LinearSolver):
         nk = fact.nk
         nc = fact.nc
         local = fact.border is None
+        chain = _chain_border_ok(fact.assembly, fact.border_loc, nc)
         inv = fact.block_W is not None
         refine = self.refine_steps if fact.diag is not None else 0
 
@@ -253,19 +263,25 @@ class ShardedSchurComplementSolver(LinearSolver):
                 return _winv_apply_batched(fac[0], fac[1], fac[2], b)
             return jax.vmap(lambda ld, bb: ldl_solve(ld, bb))(fac[0], b)[:, :nk]
 
-        def solve_once(fac, border, row_idx, sc_fact, blocks, coupling):
+        def solve_once(fac, border, row_idx, sc_fact, blocks, coupling, offset):
             v = apply_blocks(fac, blocks)
             # SC rhs reduction (reference: comm.Allreduce(sc_rhs), :387)
-            if local:
+            if chain:
+                contrib = _border_apply_chain(border, v, nc, offset)
+            elif local:
                 contrib = _border_apply_local(border, row_idx, v, nc)
             else:
                 contrib = jnp.einsum(
                     "bci,bi->c", border, v, preferred_element_type=v.dtype
                 )
-            sc_rhs = coupling - jax.lax.psum(contrib, ax)
+            with jax.named_scope("sc_solver.communicate"):
+                sc_rhs = coupling - jax.lax.psum(contrib, ax)
             # redundant SC solve per shard (reference :391)
-            y = self.sc_solver.solve(sc_fact, sc_rhs)
-            if local:
+            with jax.named_scope("sc_solver.sc_back_solve"):
+                y = self.sc_solver.solve(sc_fact, sc_rhs)
+            if chain:
+                rhs2 = blocks - _border_T_apply_chain(border, y, offset)
+            elif local:
                 rhs2 = blocks - _border_T_apply_local(border, row_idx, y)
             else:
                 rhs2 = blocks - jnp.einsum(
@@ -278,7 +294,10 @@ class ShardedSchurComplementSolver(LinearSolver):
         trigger = self.refine_trigger
 
         def _solve(fac, border, row_idx, sc_fact, diag, q, blocks, coupling):
-            x, y = solve_once(fac, border, row_idx, sc_fact, blocks, coupling)
+            offset = jax.lax.axis_index(ax) * blocks.shape[0]
+            x, y = solve_once(
+                fac, border, row_idx, sc_fact, blocks, coupling, offset
+            )
             x = x.astype(blocks.dtype)
             y = y.astype(coupling.dtype)
             if refine == 0 and not adaptive:
@@ -298,6 +317,8 @@ class ShardedSchurComplementSolver(LinearSolver):
                 status=None,
                 nk=nk,
                 nc=nc,
+                assembly=fact.assembly,
+                group_offset=offset,
             )
 
             def refine_pass(xy):
@@ -312,6 +333,7 @@ class ShardedSchurComplementSolver(LinearSolver):
                     sc_fact,
                     blocks - kx.blocks,
                     coupling - kx.coupling,
+                    offset,
                 )
                 return x + dx.astype(x.dtype), y + dy.astype(y.dtype)
 

@@ -507,6 +507,97 @@ def ldl_factor_batched(A: jax.Array, block_size: int = 128):
     return LD, jnp.diagonal(LD, axis1=1, axis2=2)
 
 
+def _panel_factor_batch_winv(Akk: jax.Array):
+    """Batched base-case panel factorization + panel inverse W = L^{-1}.
+
+    Pallas path computes W with one extra in-VMEM rank-1 per column step;
+    the XLA fallback pairs the unblocked loop with Neumann doubling."""
+    from parapint_tpu.ops import pallas_ldl
+
+    if (
+        Akk.dtype == jnp.float32
+        and Akk.shape[-1] <= 128
+        and pallas_ldl.available()
+    ):
+        return pallas_ldl.ldl_panels_batched_winv(Akk)
+    F = jax.vmap(_ldl_unblocked)(Akk)
+    Lkk = jnp.tril(F, -1) + jnp.eye(Akk.shape[-1], dtype=Akk.dtype)
+    return F, _unit_lower_inv_b(Lkk)
+
+
+def _winv_from_leaves(LD: jax.Array, leaves, lo: int, hi: int, bs: int):
+    """Batched W = L^{-1} of LD[:, lo:hi, lo:hi] by recursive halving, with
+    the diagonal-panel inverses supplied (``leaves[k]`` inverts panel k).
+    Same recursion as :func:`_unit_lower_inv_rec` but with zero base-case
+    cost — the panels were inverted during the factor sweep."""
+    n = hi - lo
+    if n <= bs:
+        return leaves[lo // bs]
+    h = ((n // 2 + bs - 1) // bs) * bs
+    if h >= n:
+        h = n - bs
+    W11 = _winv_from_leaves(LD, leaves, lo, lo + h, bs)
+    W22 = _winv_from_leaves(LD, leaves, lo + h, hi, bs)
+    # off-diagonal blocks of the packed factor are entirely below the
+    # diagonal: they ARE L21, no masking needed
+    L21 = LD[:, lo + h : hi, lo : lo + h]
+    W21 = -_bmm(W22, _bmm(L21, W11))
+    N = LD.shape[0]
+    top = jnp.concatenate(
+        [W11, jnp.zeros((N, h, n - h), dtype=LD.dtype)], axis=2
+    )
+    bottom = jnp.concatenate([W21, W22], axis=2)
+    return jnp.concatenate([top, bottom], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def ldl_factor_winv_batched(A: jax.Array, block_size: int = 128):
+    """Batched LDL^T that also returns the global W = L^{-1}: (N, n, n) ->
+    (LD, d, W) with all three (N, npad, npad)/(N, npad).
+
+    Fuses the factor sweep with the inverse construction: the panel
+    inverses (needed anyway for the panel solves) come straight out of the
+    Pallas kernel, the global W is assembled from them by batched recursive
+    halving, and the Neumann-doubling chains of the separate
+    ``ldl_factor_batched`` + ``ldl_winv`` pipeline disappear entirely.
+    """
+    N, n, _ = A.shape
+    bs = min(block_size, max(8, n))
+    npad = _round_up(max(n, 1), bs)
+    dt = A.dtype
+    if npad != n:
+        A = jnp.pad(A, ((0, 0), (0, npad - n), (0, npad - n)))
+        ids = lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
+        eye_pad = jnp.logical_and(
+            ids >= n, ids == lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+        )
+        A = jnp.where(eye_pad[None], 1.0, A)
+    nb = npad // bs
+    panels = []
+    leaves = []
+    T = A
+    for k in range(nb):
+        Fkk, Wkk = _panel_factor_batch_winv(T[:, :bs, :bs])
+        leaves.append(Wkk)
+        dk = jnp.diagonal(Fkk, axis1=1, axis2=2)  # (N, bs)
+        rest = T[:, bs:, :bs]  # (N, r, bs)
+        X = jnp.einsum(
+            "nij,nkj->nik", rest, Wkk, preferred_element_type=dt
+        )  # L21 * D
+        dk_safe = jnp.where(jnp.abs(dk) > 0, dk, 1.0)
+        L21 = X / dk_safe[:, None, :]
+        T = T[:, bs:, bs:] - jnp.einsum(
+            "nij,nkj->nik", L21, X, preferred_element_type=dt
+        )
+        col = jnp.concatenate(
+            [jnp.zeros((N, k * bs, bs), dtype=dt), Fkk, L21], axis=1
+        )
+        panels.append(col)
+    LD = jnp.concatenate(panels, axis=2)
+    W = _winv_from_leaves(LD, leaves, 0, npad, bs)
+    return LD, jnp.diagonal(LD, axis1=1, axis2=2), W
+
+
 batched_ldl_factor = jax.jit(
     jax.vmap(ldl_factor, in_axes=(0, None)), static_argnames=("block_size",)
 )

@@ -27,3 +27,39 @@ def profile_call(log_dir: str, fn, *args, **kwargs):
         out = fn(*args, **kwargs)
         jax.block_until_ready(out)
     return out
+
+
+def solver_phase_breakdown(solver, kkt, rhs, reps: int = 3):
+    """Host-side per-phase wall times of one factor+solve cycle.
+
+    The reference's MPI SC solver reports internal timers for
+    ``form SC`` / ``factorize SC`` / ``communicate`` / ``back solve``
+    (mpi_explicit_schur_complement.py:207-360).  Under whole-solve fusion
+    those phases are not separable at runtime, so this diagnostic runs the
+    *unfused* phases — each jitted alone, timed with blocking readbacks —
+    on the given KKT system.  It localizes perf regressions without a full
+    profiler trace; for in-fusion attribution the solver also emits
+    ``jax.named_scope`` labels with the same names, visible in
+    ``jax.profiler`` traces (see :func:`trace`).
+
+    Returns a dict: phase name -> best-of-``reps`` seconds.
+    """
+    import time
+
+    def _timed(f, *a):
+        out = jax.block_until_ready(f(*a))  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*a))
+            best = min(best, time.perf_counter() - t0)
+        return out, best
+
+    times = {}
+    fact, times["numeric (factor blocks + form SC + factor SC)"] = _timed(
+        jax.jit(solver.numeric), kkt
+    )
+    _, times["solve (block solves + SC back solve)"] = _timed(
+        jax.jit(solver.solve), fact, rhs
+    )
+    return times

@@ -102,3 +102,27 @@ def test_refactorization_same_shapes():
         rhs = rng.standard_normal(45)
         x = np.asarray(ldl_solve(LD, jnp.asarray(rhs)))
         assert np.allclose(K @ x, rhs, rtol=1e-7, atol=1e-7)
+
+
+@pytest.mark.parametrize("n,bs", [(6, 8), (20, 8), (100, 32), (130, 64)])
+def test_factor_winv_batched_matches_separate(n, bs):
+    """Fused factor + W = L^{-1} path vs the separate factor-then-invert
+    pipeline (both packed LD and the global inverse must agree)."""
+    from parapint_tpu.ops.ldl import (
+        ldl_factor_batched,
+        ldl_factor_winv_batched,
+        ldl_winv,
+    )
+
+    rng = np.random.default_rng(5)
+    A = np.stack([kkt_like(n - 2, 2, rng, c_reg=1e-6) for _ in range(4)])
+    LD_ref, _ = ldl_factor_batched(jnp.asarray(A), block_size=bs)
+    W_ref, d_ref = jax.vmap(lambda ld: ldl_winv(ld, bs))(LD_ref)
+    LD, d, W = ldl_factor_winv_batched(jnp.asarray(A), block_size=bs)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(W), np.asarray(W_ref), rtol=1e-10, atol=1e-10)
+    # W really inverts the unit-lower factor: W @ L = I on the padded size
+    npad = W.shape[-1]
+    L = np.tril(np.asarray(LD), -1) + np.eye(npad)
+    prod = np.einsum("bij,bjk->bik", np.asarray(W), L)
+    np.testing.assert_allclose(prod, np.broadcast_to(np.eye(npad), prod.shape), atol=1e-8)

@@ -29,3 +29,20 @@ def test_panel_kernel_indefinite():
     A = np.diag(d) + 0.01 * np.eye(32)
     out = np.asarray(ldl_panels(jnp.asarray(A[None]), interpret=True))[0]
     assert np.allclose(np.diag(out), d + 0.01, atol=1e-12)
+
+
+def test_panel_winv_kernel_matches_xla(  # new fused factor+inverse kernel
+):
+    from parapint_tpu.ops.ldl import _ldl_unblocked, _unit_lower_inv_b
+    from parapint_tpu.ops.pallas_ldl import ldl_panels_batched_winv
+    import jax
+
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((5, 16, 16)).astype(np.float32)
+    A = A + A.transpose(0, 2, 1) + 16 * np.eye(16, dtype=np.float32)
+    out, W = ldl_panels_batched_winv(jnp.asarray(A), chunk=2, interpret=True)
+    F_ref = jax.vmap(_ldl_unblocked)(jnp.asarray(A))
+    L = np.tril(np.asarray(F_ref), -1) + np.eye(16)
+    W_ref = np.linalg.inv(L)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(F_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(W), W_ref, rtol=2e-4, atol=2e-4)
