@@ -249,10 +249,6 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         """Chain topology with the [bwd(ns), fwd(ns)] link layout: the
         coupling gather/scatter become shifted contiguous slices (TPU
         scatters/gathers serialize; these are pure data movement)."""
-        import os as _os
-
-        if _os.environ.get("PT_BISECT_NO_CHAIN"):
-            return False
         ns = getattr(self, "ns", 0)
         return (
             self.sc_assembly == "chain"

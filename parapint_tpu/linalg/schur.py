@@ -263,23 +263,12 @@ def _factor_blocks_winv(
     # traffic of this function when the input is f64 — the scale factors
     # themselves only need ~1e-3 relative accuracy, so computing them on the
     # already-cast matrix is equivalent
-    import os as _os
-
-    if _os.environ.get("PT_BISECT_RUIZ_F64"):
-        s = jax.vmap(ruiz_scale)(diag)
-        diag = diag * s[:, :, None] * s[:, None, :]
-        if factor_dtype is not None:
-            diag = diag.astype(factor_dtype)
-            s = s.astype(factor_dtype)
-    else:
-        if factor_dtype is not None:
-            diag = diag.astype(factor_dtype)
-        s = jax.vmap(ruiz_scale)(diag)  # (N, nk)
-        diag = diag * s[:, :, None] * s[:, None, :]
+    if factor_dtype is not None:
+        diag = diag.astype(factor_dtype)
+    s = jax.vmap(ruiz_scale)(diag)  # (N, nk)
+    diag = diag * s[:, :, None] * s[:, None, :]
     bs = min(block_size, max(8, nk))
-    if (apply_dtype is None or apply_dtype == diag.dtype) and not _os.environ.get(
-        "PT_BISECT_NO_FUSED_WINV"
-    ):
+    if apply_dtype is None or apply_dtype == diag.dtype:
         # fused factor + W sweep: panel inverses come out of the factor
         # kernel, the global W is assembled by recursive halving from them
         LD, d, W = ldl_factor_winv_batched(diag, block_size=bs)
@@ -492,10 +481,6 @@ def _border_T_apply_local(border_loc, row_idx, y):
 
 def _chain_border_ok(assembly, border_loc, nc: int) -> bool:
     """True when the scatter-free chain border application applies."""
-    import os as _os
-
-    if _os.environ.get("PT_BISECT_NO_CHAIN"):
-        return False
     if assembly != "chain" or border_loc is None:
         return False
     L = border_loc.shape[1]

@@ -71,7 +71,6 @@ def _panel_kernel_batched(a_ref, out_ref):
     b = a_ref.shape[-1]
     A = a_ref[...]  # (C, b, b)
     row_ids = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
-    col_ids = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
     for j in range(b):
         col = A[:, :, j : j + 1]  # (C, b, 1)
         piv = A[:, j : j + 1, j : j + 1]  # (C, 1, 1)
@@ -79,13 +78,17 @@ def _panel_kernel_batched(a_ref, out_ref):
         below = row_ids > jnp.int32(j)
         l = jnp.where(below, col / piv_safe, jnp.zeros_like(col))
         out_ref[:, :, j : j + 1] = jnp.where(below, l, col)
-        # trailing rank-1 update: A[c, r, k] -= l[c, r] * (d_j l_k)[c, k];
-        # d_j*l_k = A[:, j, k] for k > j (the trailing block is symmetric),
-        # read as a ROW to avoid a minor-dims transpose
-        right = jnp.where(
-            col_ids > jnp.int32(j), A[:, j : j + 1, :], jnp.zeros_like(A[:, :1, :])
-        )
-        A = A - l * right
+        # trailing rank-1 update: A[c, r, k] -= l[c, r] * (d_j l_k)[c, k].
+        # d_j*l_k MUST be read from the pivot COLUMN (transposed), exactly
+        # like the single-panel kernel: reading row j instead (the trailing
+        # block is only symmetric up to roundoff — Ruiz scaling and the
+        # updates themselves break exact symmetry at the ulp level) feeds
+        # the upper-triangle values into a factorization whose downstream
+        # use (W^T D^-1 W applies, SC formation) is derived from the lower
+        # triangle; under the KKT's element growth that inconsistency cost
+        # ~2x interior-point iterations on the Burgers benchmark.
+        colmask = jnp.where(below, col, jnp.zeros_like(col))
+        A = A - l * jnp.swapaxes(colmask, 1, 2)
 
 
 def _panel_kernel_batched_winv(a_ref, out_ref, w_ref):
@@ -112,10 +115,9 @@ def _panel_kernel_batched_winv(a_ref, out_ref, w_ref):
         below = row_ids > jnp.int32(j)
         l = jnp.where(below, col / piv_safe, jnp.zeros_like(col))
         out_ref[:, :, j : j + 1] = jnp.where(below, l, col)
-        right = jnp.where(
-            col_ids > jnp.int32(j), A[:, j : j + 1, :], jnp.zeros_like(A[:, :1, :])
-        )
-        A = A - l * right
+        # pivot-COLUMN read for the rank-1 (see _panel_kernel_batched)
+        colmask = jnp.where(below, col, jnp.zeros_like(col))
+        A = A - l * jnp.swapaxes(colmask, 1, 2)
         # W accumulation: row j of W is final at step j (later steps only
         # modify rows > j)
         W = W - l * W[:, j : j + 1, :]
