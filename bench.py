@@ -52,12 +52,19 @@ N_BLOCKS = 64
 TOL = 1e-8
 
 
-def build_problem(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS):
+def build_problem(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS, kkt_dtype="f32"):
+    import jax.numpy as jnp
     import parapint_tpu as pt
     from parapint_tpu.examples import burgers
 
     spec = burgers.build_spec(nfe_x=nfe_x, nfe_t=nfe_t, num_time_blocks=n_blocks)
-    return pt.DynamicSchurComplementInteriorPointInterface(spec)
+    # kkt_dtype=f32: the Hessian AD sweep and the KKT-matrix assembly run in
+    # f32 (the matrix feeds the f32 factorization anyway); rhs, gradients and
+    # convergence residuals stay f64 so tol=1e-8 remains certifiable.  The
+    # scipy baseline passes kkt_dtype=None (it factors in f64).
+    return pt.DynamicSchurComplementInteriorPointInterface(
+        spec, kkt_dtype=jnp.float32 if kkt_dtype == "f32" else None
+    )
 
 
 def _make_solver():
@@ -118,7 +125,7 @@ def measure_reference_baseline(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS):
     import scipy.sparse as sps
     import scipy.sparse.linalg as spla
 
-    interface = build_problem(nfe_x, nfe_t, n_blocks)
+    interface = build_problem(nfe_x, nfe_t, n_blocks, kkt_dtype=None)
     state = interface.init_state()
     interface._current_state = state
     data = interface.eval_kkt_data(state, 0.1)

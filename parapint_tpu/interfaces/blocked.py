@@ -142,6 +142,12 @@ def assemble_block_diag(
     n_link = link_rows.shape[1]
     off_x, off_s, off_yeq, off_yineq, off_lam, nk = sub_kkt_layout(n, me, mi, n_link)
     dt = data.hess.dtype
+    # everything below must stay in dt (a mixed-precision interface hands
+    # f32 data while regs/link rows arrive f64; any promotion would silently
+    # rebuild the whole (N, nk, nk) result in f64)
+    w_reg = jnp.asarray(w_reg, dtype=dt)
+    c_reg = jnp.asarray(c_reg, dtype=dt)
+    link_rows = link_rows.astype(dt)
 
     def one(hess, jeq, jineq, sx, ss, em, im, xm, lr, lm):
         # Build K as ONE concatenation of block rows (layout

@@ -147,7 +147,13 @@ class DynamicSchurComplementInteriorPointInterface(StructuredSCInterface):
         sharded Schur solver all run SPMD.
     """
 
-    def __init__(self, spec: DynamicModelSpec, mesh=None, axis_name: str = "blocks"):
+    def __init__(
+        self,
+        spec: DynamicModelSpec,
+        mesh=None,
+        axis_name: str = "blocks",
+        kkt_dtype=None,
+    ):
         self.spec = spec
         N = spec.num_blocks
         n, me, mi, ns = spec.n_x, spec.n_eq, spec.n_ineq, spec.num_states
@@ -197,7 +203,7 @@ class DynamicSchurComplementInteriorPointInterface(StructuredSCInterface):
         # time-chain topology: the SC is block-tridiagonal; use the
         # scatter-free assembly (see LocalBlockKKT.assembly)
         self.sc_assembly = "chain"
-        self._finalize(mesh=mesh, axis_name=axis_name)
+        self._finalize(mesh=mesh, axis_name=axis_name, kkt_dtype=kkt_dtype)
 
     # -- dynamic-specific accessors -----------------------------------------
 

@@ -115,7 +115,11 @@ class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
     """Interface for two-stage stochastic programs (see module docstring)."""
 
     def __init__(
-        self, spec: StochasticModelSpec, mesh=None, axis_name: str = "blocks"
+        self,
+        spec: StochasticModelSpec,
+        mesh=None,
+        axis_name: str = "blocks",
+        kkt_dtype=None,
     ):
         self.spec = spec
         N = spec.num_scenarios
@@ -146,7 +150,7 @@ class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
 
         # every scenario links the same coupling rows 0..L-1: plain sum
         self.sc_assembly = "shared"
-        self._finalize(mesh=mesh, axis_name=axis_name)
+        self._finalize(mesh=mesh, axis_name=axis_name, kkt_dtype=kkt_dtype)
 
     # -- stochastic-specific accessors --------------------------------------
 

@@ -46,9 +46,31 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
       self.x0 (N, n) initial primals
     """
 
-    def _finalize(self, mesh=None, axis_name: str = "blocks"):
+    def _finalize(self, mesh=None, axis_name: str = "blocks", kkt_dtype=None):
         self.mesh = mesh
         self.axis_name = axis_name
+        # kkt_dtype (e.g. jnp.float32): evaluate the Hessian AD sweep and
+        # assemble the KKT *matrix* data in this dtype.  The matrix feeds a
+        # factor_dtype=f32 factorization anyway, so nothing downstream loses
+        # accuracy, while the most expensive AD sweep (fwd-over-rev Hessian)
+        # and the largest assembly traffic (the (N, nk, nk) diag blocks) run
+        # at half the bytes/flops.  Everything convergence-critical — rhs,
+        # gradients, constraint residuals, infeasibility norms — stays in
+        # the working (f64) precision: those are vectors, cheap to keep
+        # exact, and tol=1e-8 cannot be certified from f32 residuals.
+        # Caveat: iterative refinement then corrects toward the rounded
+        # matrix (backward error ~eps_f32); leave unset for solvers relying
+        # on f64-refined step accuracy.
+        self.kkt_dtype = kkt_dtype
+        if kkt_dtype is not None:
+            self._params_kkt = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a).astype(kkt_dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else jnp.asarray(a),
+                self.params,
+            )
+        else:
+            self._params_kkt = self.params
         if not hasattr(self, "sc_assembly"):
             self.sc_assembly = "scatter"
         (
@@ -300,6 +322,38 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
 
     # -- shared AD evaluation (fused path) -----------------------------------
 
+    def _eval_hess(self, state):
+        """Hessian-of-Lagrangian sweep, in ``kkt_dtype`` when configured.
+
+        The Hessian appears only in the KKT matrix (never in the rhs or the
+        convergence norms), so evaluating the fwd-over-rev sweep — the most
+        expensive AD computation of the iteration — at reduced precision
+        perturbs the Newton *matrix* by O(eps_f32) without touching the
+        f64 residuals; equivalent to quasi-Newton-level model error, far
+        below what the interior point tolerates."""
+        kd = self.kkt_dtype
+        if kd is None:
+            cast = lambda a: a
+            params = self.params
+        else:
+            cast = lambda a: (
+                a.astype(kd)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else a
+            )
+            params = self._params_kkt
+        return self.fns.hess_lag(
+            cast(state.primals["blocks"]),
+            cast(state.duals_eq["own"]),
+            cast(state.duals_ineq),
+            jnp.full(self.N, self.obj_factor, dtype=kd) if kd is not None
+            else jnp.full(self.N, self.obj_factor),
+            params,
+            cast(self.x_mask),
+            cast(self.eq_mask),
+            cast(self.ineq_mask),
+        )
+
     def eval_ad(self, state):
         """One AD sweep per iteration: every derivative quantity both the
         convergence check and the KKT assembly need.  The Python-loop
@@ -315,16 +369,7 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             jac_ineq=fns.jac_ineq(*args, self.ineq_mask),
             c_eq=fns.c_eq(*args, self.eq_mask),
             c_ineq=fns.c_ineq(*args, self.ineq_mask),
-            hess=fns.hess_lag(
-                x,
-                state.duals_eq["own"],
-                state.duals_ineq,
-                jnp.full(self.N, self.obj_factor),
-                self.params,
-                self.x_mask,
-                self.eq_mask,
-                self.ineq_mask,
-            ),
+            hess=self._eval_hess(state),
         )
 
     def convergence_from_ad(self, state, ad, barrier, error_scaling):
@@ -479,16 +524,7 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         fns = self.fns
         x = state.primals["blocks"]
         args = (x, self.params, self.x_mask)
-        hess = fns.hess_lag(
-            x,
-            state.duals_eq["own"],
-            state.duals_ineq,
-            jnp.full(self.N, self.obj_factor),
-            self.params,
-            self.x_mask,
-            self.eq_mask,
-            self.ineq_mask,
-        )
+        hess = self._eval_hess(state)
         return self._kkt_core(
             state,
             bounds,
@@ -517,12 +553,15 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         sigma_s = base.barrier_hessian_diag(
             s, bounds.gl, bounds.gu, state.duals_slacks_lb, state.duals_slacks_ub
         )
+        # matrix data in kkt_dtype (see _finalize); the rhs below stays f64
+        kd = self.kkt_dtype
+        mcast = (lambda a: a) if kd is None else (lambda a: a.astype(kd))
         data = BlockKKTData(
-            hess=self._shard_blocks(hess),
-            jac_eq=self._shard_blocks(jac_eq),
-            jac_ineq=self._shard_blocks(jac_ineq),
-            sigma_x=self._shard_blocks(sigma_x),
-            sigma_s=self._shard_blocks(sigma_s),
+            hess=self._shard_blocks(mcast(hess)),
+            jac_eq=self._shard_blocks(mcast(jac_eq)),
+            jac_ineq=self._shard_blocks(mcast(jac_ineq)),
+            sigma_x=self._shard_blocks(mcast(sigma_x)),
+            sigma_s=self._shard_blocks(mcast(sigma_s)),
         )
 
         rhs_x = -(
@@ -565,7 +604,9 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         # (the reference *sets* the coupling-var diagonal to the hessian-reg
         # coefficient, sc_ip_interface.py:925-933; both coefficients share
         # the same value in numeric_factorization, interior_point.py:385-386)
-        q = c_reg * jnp.eye(self.ncv, dtype=diag.dtype)
+        q = jnp.asarray(c_reg, dtype=diag.dtype) * jnp.eye(
+            self.ncv, dtype=diag.dtype
+        )
         return LocalBlockKKT.make(
             diag=self._shard_blocks(diag),
             border_loc=self._shard_blocks(self.border_loc),

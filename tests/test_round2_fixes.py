@@ -217,3 +217,51 @@ def test_checkpoint_rejects_mismatched_state(tmp_path):
     # different structure -> clear error
     with pytest.raises(ValueError, match="different state structure"):
         load_checkpoint(path, like={"a": jnp.zeros(3), "b": jnp.ones((2, 2))})
+
+
+def test_kkt_dtype_f32_solves_and_matches_f64():
+    """Mixed-precision interface: kkt_dtype=f32 assembles the KKT matrix
+    (and runs the Hessian sweep) in f32 while the rhs/convergence path stays
+    f64.  The solve must still reach optimal at tol 1e-8 and agree with the
+    full-f64 interface's solution."""
+    from parapint_tpu.examples import burgers
+
+    def solve(kkt_dtype):
+        spec = burgers.build_spec(nfe_x=10, nfe_t=16, num_time_blocks=4)
+        iface = pt.DynamicSchurComplementInteriorPointInterface(
+            spec, kkt_dtype=kkt_dtype
+        )
+        opts = pt.IPOptions()
+        opts.tol = 1e-8
+        opts.linalg.solver = pt.SchurComplementSolver(
+            block_size=32,
+            explicit_inverse=True,
+            factor_dtype=jnp.float32,
+            refine_steps=0,
+        )
+        status = pt.ip_solve(iface, opts)
+        assert status == pt.InteriorPointStatus.optimal, status
+        return np.asarray(iface.get_primals()["blocks"])
+
+    x32 = solve(jnp.float32)
+    x64 = solve(None)
+    err = np.linalg.norm(x32 - x64) / max(1.0, np.linalg.norm(x64))
+    assert err < 1e-6, err
+
+
+def test_kkt_dtype_f32_assembles_f32_matrix_f64_rhs():
+    from parapint_tpu.examples import burgers
+
+    spec = burgers.build_spec(nfe_x=8, nfe_t=8, num_time_blocks=2)
+    iface = pt.DynamicSchurComplementInteriorPointInterface(
+        spec, kkt_dtype=jnp.float32
+    )
+    state = iface.init_state()
+    iface._current_state = state
+    data = iface.eval_kkt_data(state, 0.1)
+    kkt = iface.assemble_kkt(data, 1e-8, 1e-8)
+    rhs = iface.kkt_rhs(data)
+    assert kkt.diag.dtype == jnp.float32
+    assert kkt.q.dtype == jnp.float32
+    assert rhs.blocks.dtype == jnp.float64
+    assert rhs.coupling.dtype == jnp.float64
