@@ -64,7 +64,12 @@ def main():
 
     def burgers_if(nfe_x, nfe_t, nblocks):
         spec = burgers.build_spec(nfe_x=nfe_x, nfe_t=nfe_t, num_time_blocks=nblocks)
-        return pt.DynamicSchurComplementInteriorPointInterface(spec)
+        return pt.DynamicSchurComplementInteriorPointInterface(
+            spec, kkt_dtype=jnp.float32
+        )
+
+    def cr():
+        return pt.BlockTridiagSolver()
 
     configs.append(
         (
@@ -98,7 +103,25 @@ def main():
     )
     configs.append(
         (
-            "burgers_256blocks",
+            "burgers_64blocks_cr",
+            lambda: (
+                burgers_if(50, 256, 64),
+                pt.SchurComplementSolver(schur_complement_solver=cr(), **fast),
+            ),
+        )
+    )
+    configs.append(
+        (
+            "burgers_256blocks_cr",
+            lambda: (
+                burgers_if(50, 512, 256),
+                pt.SchurComplementSolver(schur_complement_solver=cr(), **fast),
+            ),
+        )
+    )
+    configs.append(
+        (
+            "burgers_256blocks_dense_sc",
             lambda: (burgers_if(50, 512, 256), pt.SchurComplementSolver(**fast)),
         )
     )
