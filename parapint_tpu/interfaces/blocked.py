@@ -102,6 +102,28 @@ class BatchedNLPFunctions:
 
         self.hess_lag = jax.vmap(jax.jacfwd(jax.grad(_lag, argnums=0), argnums=0))
 
+        def _jtprod(x, y_eq, y_ineq, p, xm, em, im):
+            """J_eq^T y_eq + J_ineq^T y_ineq via ONE reverse sweep.
+
+            The dual contraction of the Lagrangian gradient needs only this
+            product, never the materialized Jacobians — a VJP costs about
+            one constraint evaluation, while jacfwd costs ~n_x of them.
+            Lets the mixed-precision interface materialize J in f32 (for
+            the KKT matrix) while the f64 rhs/convergence path stays exact.
+            """
+
+            def val(xx):
+                out = jnp.zeros((), dtype=x.dtype)
+                if n_eq:
+                    out = out + jnp.dot(y_eq, _ceq(xx, p, xm, em))
+                if n_ineq:
+                    out = out + jnp.dot(y_ineq, _cineq(xx, p, xm, im))
+                return out
+
+            return jax.grad(val)(x)
+
+        self.jtprod = jax.vmap(_jtprod)
+
 
 def sub_kkt_layout(n: int, me: int, mi: int, n_link: int):
     """Offsets of the per-block variable families [x, s, y_eq, y_ineq, lam].

@@ -310,14 +310,33 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         out = out.at[self.row_idx].add(lam)
         return out[: self.ncv]
 
-    def _grad_lag_primals(self, state, jac_eq, jac_ineq, grad_f):
+    def _grad_lag_primals(self, state, jac_eq, jac_ineq, grad_f, jtlam=None):
+        if jtlam is None:
+            jtlam = jnp.einsum(
+                "bmn,bm->bn", jac_eq, state.duals_eq["own"]
+            ) + jnp.einsum("bmn,bm->bn", jac_ineq, state.duals_ineq)
         return (
             self.obj_factor * grad_f
-            + jnp.einsum("bmn,bm->bn", jac_eq, state.duals_eq["own"])
-            + jnp.einsum("bmn,bm->bn", jac_ineq, state.duals_ineq)
+            + jtlam
             + jnp.einsum(
                 "bln,bl->bn", self.link_rows, self._link_duals(state.duals_eq)
             )
+        )
+
+    def _jtprod(self, state):
+        """Exact (working-precision) J^T-dual product via one VJP sweep —
+        no Jacobian materialization; see BatchedNLPFunctions.jtprod."""
+        fns = self.fns
+        if not hasattr(fns, "jtprod"):
+            return None
+        return fns.jtprod(
+            state.primals["blocks"],
+            state.duals_eq["own"],
+            state.duals_ineq,
+            self.params,
+            self.x_mask,
+            self.eq_mask,
+            self.ineq_mask,
         )
 
     # -- shared AD evaluation (fused path) -----------------------------------
@@ -354,6 +373,36 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             cast(self.ineq_mask),
         )
 
+    def _eval_jacs(self, state):
+        """Materialized constraint Jacobians — in ``kkt_dtype`` when set.
+
+        The materialized J only ever enters the KKT *matrix*; the dual
+        contraction the f64 rhs/convergence path needs is computed exactly
+        by :meth:`_jtprod` instead, so in mixed-precision mode the ~n_x
+        forward sweeps of jacfwd run at f32 cost and nothing downstream
+        loses f64 accuracy."""
+        fns = self.fns
+        kd = self.kkt_dtype
+        if kd is None or not hasattr(fns, "jtprod"):
+            x = state.primals["blocks"]
+            args = (x, self.params, self.x_mask)
+            return fns.jac_eq(*args, self.eq_mask), fns.jac_ineq(
+                *args, self.ineq_mask
+            )
+        cast = lambda a: (
+            a.astype(kd)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else a
+        )
+        args = (
+            cast(state.primals["blocks"]),
+            self._params_kkt,
+            cast(self.x_mask),
+        )
+        return fns.jac_eq(*args, cast(self.eq_mask)), fns.jac_ineq(
+            *args, cast(self.ineq_mask)
+        )
+
     def eval_ad(self, state):
         """One AD sweep per iteration: every derivative quantity both the
         convergence check and the KKT assembly need.  The Python-loop
@@ -362,11 +411,13 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         fns = self.fns
         x = state.primals["blocks"]
         args = (x, self.params, self.x_mask)
+        jac_eq, jac_ineq = self._eval_jacs(state)
         return dict(
             obj=fns.total_objective(*args),
             grad_f=fns.grad_f(*args),
-            jac_eq=fns.jac_eq(*args, self.eq_mask),
-            jac_ineq=fns.jac_ineq(*args, self.ineq_mask),
+            jac_eq=jac_eq,
+            jac_ineq=jac_ineq,
+            jtlam=self._jtprod(state),
             c_eq=fns.c_eq(*args, self.eq_mask),
             c_ineq=fns.c_ineq(*args, self.ineq_mask),
             hess=self._eval_hess(state),
@@ -384,6 +435,7 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             ad["c_ineq"],
             barrier,
             error_scaling,
+            jtlam=ad.get("jtlam"),
         )
 
     def kkt_from_ad(self, state, ad, barrier):
@@ -397,6 +449,7 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             ad["c_eq"],
             ad["c_ineq"],
             barrier,
+            jtlam=ad.get("jtlam"),
         )
 
     # -- convergence ---------------------------------------------------------
@@ -408,22 +461,24 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         fns = self.fns
         x = state.primals["blocks"]
         args = (x, self.params, self.x_mask)
+        jac_eq, jac_ineq = self._eval_jacs(state)
         return self._convergence_core(
             state,
             bounds,
             fns.total_objective(*args),
             fns.grad_f(*args),
-            fns.jac_eq(*args, self.eq_mask),
-            fns.jac_ineq(*args, self.ineq_mask),
+            jac_eq,
+            jac_ineq,
             fns.c_eq(*args, self.eq_mask),
             fns.c_ineq(*args, self.ineq_mask),
             barrier,
             error_scaling,
+            jtlam=self._jtprod(state),
         )
 
     def _convergence_core(
         self, state, bounds, obj, grad_f, jac_eq, jac_ineq, c_eq, c_ineq,
-        barrier, error_scaling,
+        barrier, error_scaling, jtlam=None,
     ):
         x = state.primals["blocks"]
         c = state.primals["coupling"]
@@ -432,7 +487,7 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         link_resid = self._link_resid(x, c)
 
         glp_blocks = (
-            self._grad_lag_primals(state, jac_eq, jac_ineq, grad_f)
+            self._grad_lag_primals(state, jac_eq, jac_ineq, grad_f, jtlam)
             - state.duals_primals_lb["blocks"]
             + state.duals_primals_ub["blocks"]
         )
@@ -525,20 +580,23 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         x = state.primals["blocks"]
         args = (x, self.params, self.x_mask)
         hess = self._eval_hess(state)
+        jac_eq, jac_ineq = self._eval_jacs(state)
         return self._kkt_core(
             state,
             bounds,
             hess,
             fns.grad_f(*args),
-            fns.jac_eq(*args, self.eq_mask),
-            fns.jac_ineq(*args, self.ineq_mask),
+            jac_eq,
+            jac_ineq,
             fns.c_eq(*args, self.eq_mask),
             fns.c_ineq(*args, self.ineq_mask),
             barrier,
+            jtlam=self._jtprod(state),
         )
 
     def _kkt_core(
-        self, state, bounds, hess, grad_f, jac_eq, jac_ineq, c_eq, c_ineq, barrier
+        self, state, bounds, hess, grad_f, jac_eq, jac_ineq, c_eq, c_ineq,
+        barrier, jtlam=None,
     ):
         x = state.primals["blocks"]
         c = state.primals["coupling"]
@@ -565,7 +623,7 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         )
 
         rhs_x = -(
-            self._grad_lag_primals(state, jac_eq, jac_ineq, grad_f)
+            self._grad_lag_primals(state, jac_eq, jac_ineq, grad_f, jtlam)
             + base.barrier_grad_term(
                 x, bounds.xl["blocks"], bounds.xu["blocks"], barrier
             )
