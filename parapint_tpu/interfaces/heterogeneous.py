@@ -225,6 +225,30 @@ class MultiKindNLPFunctions:
             extra=(yeq, yineq, obj_factor),
         )
 
+    def jtprod(self, xs, yeq, yineq, params, xm, em, im):
+        """J_eq^T yeq + J_ineq^T yineq, segmented per kind, via each kind's
+        VJP (see BatchedNLPFunctions.jtprod).  Same dual/mask layout as
+        :meth:`hess_lag`: the per-kind subs use the unified padded widths."""
+        outs = jnp.zeros((self.N, self.n_x), dtype=xs.dtype)
+        for k, idxs in enumerate(self.kind_blocks):
+            if len(idxs) == 0:
+                continue
+            sub = self.sub[k]
+            kspec = self.kinds[k]
+            idx = jnp.asarray(idxs)
+            n = len(idxs)
+            res = sub.jtprod(
+                xs[idx],
+                yeq[idx] if kspec.n_eq else jnp.zeros((n, 0)),
+                yineq[idx] if kspec.n_ineq else jnp.zeros((n, 0)),
+                self.kind_params[k],
+                xm[idx],
+                em[idx] if kspec.n_eq else jnp.zeros((n, 0)),
+                im[idx] if kspec.n_ineq else jnp.zeros((n, 0)),
+            )
+            outs = outs.at[idx].set(res)
+        return outs
+
 
 class HeterogeneousDynamicInterface(StructuredSCInterface):
     """Dynamic SC interface with per-block kinds (see module docstring).
