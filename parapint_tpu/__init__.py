@@ -53,6 +53,7 @@ from parapint_tpu.linalg import (
     ShardedSchurComplementSolver,
     PCGSchurComplementSolver,
     BlockTridiagSolver,
+    CondensedLSQSolver,
 )
 from parapint_tpu.models import NLPModel
 from parapint_tpu.interfaces import (
@@ -85,6 +86,7 @@ __all__ = [
     "ShardedSchurComplementSolver",
     "PCGSchurComplementSolver",
     "BlockTridiagSolver",
+    "CondensedLSQSolver",
     "NLPModel",
     "InteriorPointInterface",
     "DynamicSchurComplementInteriorPointInterface",

@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from parapint_tpu.algorithms.interior_point import InteriorPointStatus
+from parapint_tpu.algorithms.interior_point import (
+    InteriorPointStatus,
+    check_precision_compat,
+)
 from parapint_tpu.linalg.results import LinearSolverStatus
 from parapint_tpu.options import IPOptions
 
@@ -53,6 +56,7 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
     solver = options.linalg.solver
     if solver is None:
         raise ValueError("options.linalg.solver must be set")
+    check_precision_compat(interface, solver)
     do_ls = not options.line_search.disable
     if do_ls and not hasattr(interface, "merit_components"):
         raise NotImplementedError(

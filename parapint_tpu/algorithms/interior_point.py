@@ -42,6 +42,36 @@ class InteriorPointStatus(enum.Enum):
     error = 1
 
 
+def check_precision_compat(interface, solver) -> None:
+    """Warn when a mixed-precision interface feeds a higher-precision factor.
+
+    ``kkt_dtype=f32`` rounds the KKT matrix at assembly; a solver asking for
+    a HIGHER-precision factor sweep (the hybrid ``factor_dtype=f64`` +
+    ``apply_dtype=f32`` path exists precisely for exact pivot signs on
+    cancellation-heavy blocks) then computes its pivots from already-rounded
+    data — the inertia fidelity it promises cannot be recovered.  The
+    production combination (f32 matrix, f32 factor) is unaffected.
+    """
+    import warnings
+
+    import numpy as _np
+
+    kd = getattr(interface, "kkt_dtype", None)
+    fd = getattr(solver, "factor_dtype", None)
+    if kd is None or fd is None:
+        return
+    if _np.dtype(fd).itemsize > _np.dtype(kd).itemsize:
+        warnings.warn(
+            f"interface kkt_dtype={_np.dtype(kd).name} assembles the KKT in "
+            f"reduced precision, but the solver factors in "
+            f"{_np.dtype(fd).name}: pivot signs/inertia are computed from "
+            "already-rounded data, defeating the hybrid-precision "
+            "factorization's guarantee. Use kkt_dtype=None with "
+            "factor_dtype=f64 (hybrid), or factor_dtype=f32.",
+            stacklevel=3,
+        )
+
+
 def check_convergence(interface, barrier, error_scaling: float = 100.0):
     """Standalone convergence check (reference :174-317).
 
@@ -233,6 +263,7 @@ def ip_solve(
     if options.linalg.solver is None:
         raise ValueError("options.linalg.solver must be set")
     solver: LinearSolver = options.linalg.solver
+    check_precision_compat(interface, solver)
     if timer is None:
         timer = HierarchicalTimer()
 

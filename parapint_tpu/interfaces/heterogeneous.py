@@ -270,6 +270,7 @@ class HeterogeneousDynamicInterface(StructuredSCInterface):
         x0_per_block,
         mesh=None,
         axis_name: str = "blocks",
+        kkt_dtype=None,
     ):
         from parapint_tpu.interfaces.blocked import selector_rows
 
@@ -346,4 +347,9 @@ class HeterogeneousDynamicInterface(StructuredSCInterface):
         self.row_idx = jnp.asarray(row_idx)
 
         self.sc_assembly = "chain"
-        self._finalize(mesh=mesh, axis_name=axis_name)
+        # kkt_dtype: the x/dual/mask casts of the mixed-precision sweeps
+        # apply; per-kind parameter pytrees stay in their own dtype (values
+        # promote inside the kind functions), so the f32 speedup is partial
+        # for kinds with f64 params — results are cast at data construction
+        # either way.
+        self._finalize(mesh=mesh, axis_name=axis_name, kkt_dtype=kkt_dtype)

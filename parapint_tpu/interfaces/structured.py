@@ -412,12 +412,15 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         x = state.primals["blocks"]
         args = (x, self.params, self.x_mask)
         jac_eq, jac_ineq = self._eval_jacs(state)
+        # default (f64) mode: the materialized Jacobians exist anyway, so
+        # the einsum fallback is free — skip the extra VJP sweep
+        jtlam = self._jtprod(state) if self.kkt_dtype is not None else None
         return dict(
             obj=fns.total_objective(*args),
             grad_f=fns.grad_f(*args),
             jac_eq=jac_eq,
             jac_ineq=jac_ineq,
-            jtlam=self._jtprod(state),
+            jtlam=jtlam,
             c_eq=fns.c_eq(*args, self.eq_mask),
             c_ineq=fns.c_ineq(*args, self.ineq_mask),
             hess=self._eval_hess(state),
@@ -591,7 +594,7 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             fns.c_eq(*args, self.eq_mask),
             fns.c_ineq(*args, self.ineq_mask),
             barrier,
-            jtlam=self._jtprod(state),
+            jtlam=self._jtprod(state) if self.kkt_dtype is not None else None,
         )
 
     def _kkt_core(

@@ -265,3 +265,34 @@ def test_kkt_dtype_f32_assembles_f32_matrix_f64_rhs():
     assert kkt.q.dtype == jnp.float32
     assert rhs.blocks.dtype == jnp.float64
     assert rhs.coupling.dtype == jnp.float64
+
+
+def test_kkt_dtype_with_higher_precision_factor_warns():
+    """kkt_dtype=f32 + factor_dtype=f64 defeats the hybrid pivot-sign
+    guarantee (the matrix is rounded before the f64 sweep) — must warn."""
+    import warnings
+
+    from parapint_tpu.examples import burgers
+
+    spec = burgers.build_spec(nfe_x=8, nfe_t=8, num_time_blocks=2)
+    iface = pt.DynamicSchurComplementInteriorPointInterface(
+        spec, kkt_dtype=jnp.float32
+    )
+    opts = pt.IPOptions()
+    opts.linalg.solver = pt.SchurComplementSolver(
+        block_size=32, factor_dtype=jnp.float64
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pt.make_fused_ip_solve(iface, opts)
+    assert any("reduced precision" in str(x.message) for x in w)
+
+    # the production combination (f32 matrix, f32 factor) stays silent
+    opts2 = pt.IPOptions()
+    opts2.linalg.solver = pt.SchurComplementSolver(
+        block_size=32, factor_dtype=jnp.float32
+    )
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        pt.make_fused_ip_solve(iface, opts2)
+    assert not any("reduced precision" in str(x.message) for x in w2)
