@@ -168,8 +168,13 @@ class MumpsInterface(_DenseLDLSolver):
 
     def numeric(self, kkt):
         fact = super().numeric(kkt)
-        if self.log_error and not isinstance(kkt, _jax.core.Tracer):
-            self._last_kkt = kkt
+        if self.log_error:
+            # a traced numeric() leaves no concrete matrix: clear the cache
+            # so a later untraced solve() cannot log residuals of a STALE
+            # matrix from an earlier factorization
+            self._last_kkt = (
+                None if isinstance(kkt, _jax.core.Tracer) else kkt
+            )
         return fact
 
     def solve(self, fact, rhs):

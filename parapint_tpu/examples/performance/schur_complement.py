@@ -234,7 +234,6 @@ def run(
         # (n_q_per_block=5000, n_y_multiplier=120, main.py:63-73), which the
         # dense methods cannot
         from parapint_tpu.linalg import CondensedLSQKKT, CondensedLSQSolver
-        from parapint_tpu.linalg.schur import BlockRhs as _BlockRhs
 
         solver = CondensedLSQSolver(tile_size=block_size)
         kkt = CondensedLSQKKT(

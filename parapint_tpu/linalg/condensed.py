@@ -245,12 +245,18 @@ class CondensedLSQSolver(LinearSolver):
     def solve(self, fact: CondensedFactor, rhs, kkt: CondensedLSQKKT = None):
         """Full block-bordered back solve.
 
-        rhs: :class:`BlockRhs` with blocks (N, nk) in [y, q, nu, lam] layout
-        and coupling (n_t,).  ``kkt`` must be the system passed to
-        ``numeric`` (the factor does not retain the bands).
+        rhs: :class:`BlockRhs` with blocks (N, nk) in [y, nu, q, lam] layout
+        (the CondensedLSQKKT offsets: off_nu = n_y, off_q = 2 n_y) and
+        coupling (n_t,).  ``kkt`` must be the system passed to ``numeric``
+        (the factor does not retain the bands).
         """
         if kkt is None:
             raise ValueError("CondensedLSQSolver.solve needs kkt=")
+        # NOTE: the theta correction is linear in theta (x = x0 - K^-1
+        # e_lam theta), so the second vmapped pass could be replaced by an
+        # n_t-column multi-RHS solve precomputed in numeric(); at the
+        # current harness scale the back solve is far from dominant, so the
+        # simpler two-pass form is kept.
         nt = kkt.n_t
         zero_t = jnp.zeros(nt, dtype=rhs.blocks.dtype)
         v = jax.vmap(lambda b: self._block_solve(kkt, fact, b, zero_t))(

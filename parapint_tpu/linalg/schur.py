@@ -35,6 +35,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from parapint_tpu.linalg.base import LinearSolver
@@ -174,6 +175,16 @@ def pad_block_count(kkt, multiple: int):
     reference's blocks >= ranks flexibility
     (/root/reference/parapint/interfaces/schur_complement/mpi_sc_ip_interface.py:78-79)
     without its divisibility-by-hand requirement.
+
+    A padded CHAIN KKT falls back to ``assembly="scatter"``: the chain
+    fast path places contributions by block *position* through shifted
+    windows sized for exactly ng = nc/ns groups, and padding blocks beyond
+    the last real group would overflow those windows — XLA clamps the
+    out-of-range dynamic-slice start, silently shifting REAL blocks'
+    contributions onto wrong coupling groups.  The scatter path is
+    padding-safe (padded rows target the dump index), so correctness is
+    preserved at the cost of the scatter-free fast path for non-divisible
+    block counts only.
     """
     N = kkt.diag.shape[0]
     rem = (-N) % multiple
@@ -199,7 +210,7 @@ def pad_block_count(kkt, multiple: int):
             row_idx=row_idx,
             q=kkt.q,
             mask=mask,
-            assembly=kkt.assembly,
+            assembly="scatter" if kkt.assembly == "chain" else kkt.assembly,
         )
     nc = kkt.q.shape[-1]
     border = jnp.concatenate(
@@ -584,25 +595,60 @@ def _refine_probe(
     trigger: float,
     psum_axis=None,
 ):
-    """f32 residual check: True when ||rhs - K x|| > trigger * max(1, ||rhs||).
+    """f32 residual check: True when ||rhs - K x|| exceeds BOTH
+    trigger * max(1, ||rhs||) and the probe's own measurement floor.
 
     Runs entirely in f32 (cheap on TPU) — it only needs to detect gross
-    solve failure (relative residual above ~1e-5), far above the f32 matvec
-    noise floor.  With ``psum_axis``, block norms reduce over the mesh axis
-    (the coupling part is replicated and is added once).
+    solve failure, so a residual the f32 matvec cannot even resolve must
+    not count as one.  The f32 matvec's error is ~eps_f32 * (|K| |x|): on
+    ill-scaled KKTs (barrier terms spanning ~1e10) with O(1) rhs,
+    ||K|| ||x|| >> ||rhs|| and the raw rhs-relative test can NEVER pass —
+    a converged solve (true f64 residual ~1e-11) would burn every
+    refinement pass and then report a bogus error.  The floor is the
+    2-norm of the absolute-value matvec scaled by 32 * eps_f32.  With
+    ``psum_axis``, block norms reduce over the mesh axis (the coupling
+    part is replicated and is added once).
     """
     f32 = jnp.float32
     kx = _kkt_matvec(fact, x, psum_axis=psum_axis, dtype=f32)
-    rb = rhs.blocks.astype(f32) - kx.blocks
-    rc = rhs.coupling.astype(f32) - kx.coupling
+    # |K| |x| through the same matvec structure (all operands nonnegative)
+    afact = dataclasses.replace(
+        fact,
+        diag=jnp.abs(fact.diag),
+        q=jnp.abs(fact.q),
+        border=None if fact.border is None else jnp.abs(fact.border),
+        border_loc=(
+            None if fact.border_loc is None else jnp.abs(fact.border_loc)
+        ),
+    )
+    ax = BlockRhs(blocks=jnp.abs(x.blocks), coupling=jnp.abs(x.coupling))
+    kabs = _kkt_matvec(afact, ax, psum_axis=psum_axis, dtype=f32)
+    # the MATVECS run in f32 (the expensive part); the norm reductions run
+    # in the rhs working dtype (f64) — squares of large f32 values (garbage
+    # iterates reach ~1e20, kabs ~1e20 -> squares ~1e40) overflow f32 to
+    # inf, and `rn2 > inf` would silently read as converged
+    wd = rhs.blocks.dtype
+    rb = rhs.blocks.astype(f32).astype(wd) - kx.blocks.astype(wd)
+    rc = rhs.coupling.astype(f32).astype(wd) - kx.coupling.astype(wd)
     rb2 = jnp.sum(rb * rb)
-    bb2 = jnp.sum(rhs.blocks.astype(f32) ** 2)
+    bb2 = jnp.sum(rhs.blocks.astype(wd) ** 2)
+    fb2 = jnp.sum(kabs.blocks.astype(wd) ** 2)
     if psum_axis is not None:
         rb2 = jax.lax.psum(rb2, psum_axis)
         bb2 = jax.lax.psum(bb2, psum_axis)
+        fb2 = jax.lax.psum(fb2, psum_axis)
     rn2 = rb2 + jnp.sum(rc * rc)
-    bn2 = bb2 + jnp.sum(rhs.coupling.astype(f32) ** 2)
-    return rn2 > (trigger * trigger) * jnp.maximum(1.0, bn2)
+    bn2 = bb2 + jnp.sum(rhs.coupling.astype(wd) ** 2)
+    fn2 = fb2 + jnp.sum(kabs.coupling.astype(wd) ** 2)
+    eps = 32.0 * np.finfo(np.float32).eps
+    floor2 = (eps * eps) * fn2
+    # a non-finite residual (diverged refinement, NaN-poisoned solve) MUST
+    # count as failure: NaN > thresh is False and would read as converged
+    bad = jnp.logical_not(jnp.isfinite(rn2))
+    return jnp.logical_or(
+        bad,
+        rn2 > jnp.maximum((trigger * trigger) * jnp.maximum(1.0, bn2), floor2),
+    )
 
 
 class SchurComplementSolver(LinearSolver):

@@ -83,6 +83,7 @@ class ShardedSchurComplementSolver(LinearSolver):
         factor_dtype=None,
         apply_dtype=None,
         refine_trigger: float = 1e-5,
+        refine_max_passes: int = 8,
     ):
         self.mesh = mesh
         self.axis_name = axis_name
@@ -110,6 +111,7 @@ class ShardedSchurComplementSolver(LinearSolver):
             refine_steps = 1
         self.refine_steps = refine_steps if explicit_inverse else 0
         self.refine_trigger = refine_trigger
+        self.refine_max_passes = refine_max_passes
         self.n_shards = mesh.shape[axis_name]
 
     def symbolic(self, kkt) -> LinearSolverResults:
@@ -249,7 +251,8 @@ class ShardedSchurComplementSolver(LinearSolver):
 
     # -- solve -------------------------------------------------------------
 
-    def solve(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
+    def _solve_shards(self, fact: SchurFactor, rhs: BlockRhs):
+        """(BlockRhs solution, refined_ok) — see solve/solve_with_status."""
         ax = self.axis_name
         nk = fact.nk
         nc = fact.nc
@@ -301,7 +304,7 @@ class ShardedSchurComplementSolver(LinearSolver):
             x = x.astype(blocks.dtype)
             y = y.astype(coupling.dtype)
             if refine == 0 and not adaptive:
-                return x, y
+                return x, y, jnp.asarray(True)
             shard_view = SchurFactor(
                 block_LD=None,
                 block_W=None,
@@ -338,18 +341,35 @@ class ShardedSchurComplementSolver(LinearSolver):
                 return x + dx.astype(x.dtype), y + dy.astype(y.dtype)
 
             if adaptive:
-                need = _refine_probe(
-                    shard_view,
-                    BlockRhs(blocks=blocks, coupling=coupling),
-                    BlockRhs(blocks=x, coupling=y),
-                    trigger,
-                    psum_axis=ax,
+                # same semantics as the serial _solve_refined: iterate the
+                # refinement pass until the probe passes or the cap is hit;
+                # a still-failing solve reports refined_ok=False (the probe
+                # reduces with psums, so the flag is shard-replicated)
+                def probe(xv, yv):
+                    return _refine_probe(
+                        shard_view,
+                        BlockRhs(blocks=blocks, coupling=coupling),
+                        BlockRhs(blocks=xv, coupling=yv),
+                        trigger,
+                        psum_axis=ax,
+                    )
+
+                def cond_fn(c):
+                    _, _, it, need = c
+                    return jnp.logical_and(need, it < self.refine_max_passes)
+
+                def body_fn(c):
+                    xv, yv, it, _ = c
+                    xv, yv = refine_pass((xv, yv))
+                    return xv, yv, it + 1, probe(xv, yv)
+
+                x, y, _, need = jax.lax.while_loop(
+                    cond_fn, body_fn, (x, y, jnp.int32(0), probe(x, y))
                 )
-                x, y = jax.lax.cond(need, refine_pass, lambda xy: xy, (x, y))
-            else:
-                for _ in range(refine):
-                    x, y = refine_pass((x, y))
-            return x, y
+                return x, y, jnp.logical_not(need)
+            for _ in range(refine):
+                x, y = refine_pass((x, y))
+            return x, y, jnp.asarray(True)
 
         if inv:
             fac_arg = (fact.block_W, fact.block_d, fact.block_s)
@@ -371,11 +391,11 @@ class ShardedSchurComplementSolver(LinearSolver):
         blocks_in = rhs.blocks
         if n_rhs != nb:
             blocks_in = jnp.pad(rhs.blocks, ((0, nb - n_rhs), (0, 0)))
-        x, y = shard_map(
+        x, y, refined_ok = shard_map(
             _solve,
             mesh=self.mesh,
             in_specs=(fac_specs, P(ax), P(ax), sc_fact_specs, P(ax), P(), P(ax), P()),
-            out_specs=(P(ax), P()),
+            out_specs=(P(ax), P(), P()),
             check_vma=False,
         )(
             fac_arg,
@@ -387,7 +407,26 @@ class ShardedSchurComplementSolver(LinearSolver):
             blocks_in,
             rhs.coupling,
         )
-        return BlockRhs(blocks=x[:n_rhs], coupling=y)
+        return BlockRhs(blocks=x[:n_rhs], coupling=y), refined_ok
+
+    def solve(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
+        return self._solve_shards(fact, rhs)[0]
+
+    def solve_with_status(self, fact: SchurFactor, rhs: BlockRhs):
+        """(solution, status): the factorization status merged with the
+        adaptive-refinement outcome — a refinement stall reports an error
+        exactly like the serial solver, so ip_solve's never-step-on-a-
+        failed-solution gating can fire for the sharded path too."""
+        sol, refined_ok = self._solve_shards(fact, rhs)
+        status = jnp.maximum(
+            self.status(fact),
+            jnp.where(
+                refined_ok,
+                jnp.int32(LinearSolverStatus.successful),
+                jnp.int32(LinearSolverStatus.error),
+            ),
+        )
+        return sol, status
 
     def inertia(self, fact: SchurFactor):
         return fact.inertia[0], fact.inertia[1], fact.inertia[2]

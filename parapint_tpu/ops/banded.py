@@ -92,13 +92,6 @@ def banded_btb(bands: jax.Array) -> jax.Array:
     return out
 
 
-def sym_band_add(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Sum of two symmetric band stores with possibly different bandwidths."""
-    if a.shape[0] < b.shape[0]:
-        a, b = b, a
-    return a.at[: b.shape[0]].add(b)
-
-
 def sym_band_to_tridiag_tiles(sym_bands: jax.Array, ts: int):
     """Tile a symmetric banded matrix (half-bandwidth p <= ts) into
     block-tridiagonal ts x ts tiles.

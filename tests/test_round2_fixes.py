@@ -296,3 +296,150 @@ def test_kkt_dtype_with_higher_precision_factor_warns():
         warnings.simplefilter("always")
         pt.make_fused_ip_solve(iface, opts2)
     assert not any("reduced precision" in str(x.message) for x in w2)
+
+
+def test_sharded_chain_kkt_nondivisible_blocks_matches_serial():
+    """Regression: auto-padding a CHAIN KKT must not corrupt the solution.
+
+    The chain fast path's shifted placement windows are sized for exactly
+    ng coupling groups; padded blocks beyond the last real group overflowed
+    them, and XLA's dynamic-slice clamping silently shifted REAL blocks'
+    contributions onto wrong groups (observed 9e-2 solution error with
+    status=successful at N=5 on 2 shards).  pad_block_count now falls back
+    to the padding-safe scatter assembly."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from jax.sharding import Mesh
+    from test_sc_assembly import chain_row_idx
+
+    rng = np.random.default_rng(11)
+    N, ns, nk = 5, 2, 8
+    ncv = (N - 1) * ns
+    diag = rng.standard_normal((N, nk, nk))
+    diag = diag + np.swapaxes(diag, 1, 2) + 6 * nk * np.eye(nk)
+    border_loc = rng.normal(size=(N, 2 * ns, nk))
+    border_loc[0, :ns] = 0.0
+    border_loc[N - 1, ns:] = 0.0
+    row_idx = chain_row_idx(N, ns)
+    q = np.eye(ncv) * 3.0
+    kkt = LocalBlockKKT.make(
+        diag=jnp.asarray(diag),
+        border_loc=jnp.asarray(border_loc),
+        row_idx=jnp.asarray(row_idx),
+        q=jnp.asarray(q),
+        assembly="chain",
+    )
+    rhs = BlockRhs(
+        blocks=jnp.asarray(rng.standard_normal((N, nk))),
+        coupling=jnp.asarray(rng.standard_normal(ncv)),
+    )
+
+    serial = SchurComplementSolver(block_size=8)
+    sfact = serial.numeric(kkt)
+    ssol = serial.solve(sfact, rhs)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("blocks",))
+    sharded = ShardedSchurComplementSolver(mesh=mesh, block_size=8)
+    assert sharded.symbolic(kkt).status == LinearSolverStatus.successful
+    fact = sharded.numeric(kkt)
+    assert int(sharded.status(fact)) == int(LinearSolverStatus.successful)
+    sol = sharded.solve(fact, rhs)
+    err = max(
+        float(jnp.max(jnp.abs(sol.blocks - ssol.blocks))),
+        float(jnp.max(jnp.abs(sol.coupling - ssol.coupling))),
+    )
+    assert err < 1e-8, err
+
+
+def test_adaptive_probe_ill_scaled_kkt_not_flagged():
+    """Regression: the adaptive-refinement probe must not report failure
+    for residuals below its own f32 measurement floor.
+
+    On a well-conditioned but ill-scaled KKT (entries spanning ~1e10, as
+    interior-point barrier terms produce) with O(1) rhs, the f32 probe's
+    noise is ~eps_f32*|K||x| >> trigger*||rhs||: the raw rhs-relative test
+    could never pass, so a converged solve (true f64 residual ~1e-11)
+    burned all refinement passes and returned status=error."""
+    rng = np.random.default_rng(5)
+    N, nk, nc = 3, 16, 4
+    scale = 10.0 ** rng.uniform(-5, 5, size=nk)
+    diag = []
+    for i in range(N):
+        A = rng.standard_normal((nk, nk))
+        A = A + A.T + 8 * nk * np.eye(nk)
+        diag.append(scale[:, None] * A * scale[None, :])
+    border = rng.standard_normal((N, nc, nk)) * scale[None, None, :]
+    q = np.eye(nc) * 5.0
+    kkt = BlockKKT.make(
+        jnp.asarray(np.stack(diag)), jnp.asarray(border), jnp.asarray(q)
+    )
+    rhs = BlockRhs(
+        blocks=jnp.asarray(rng.standard_normal((N, nk))),
+        coupling=jnp.asarray(rng.standard_normal(nc)),
+    )
+    # adaptive refinement is the DEFAULT (refine_steps=None)
+    solver = SchurComplementSolver(block_size=16)
+    fact = solver.numeric(kkt)
+    x, status = solver.solve_with_status(fact, rhs)
+    assert int(status) == int(LinearSolverStatus.successful), int(status)
+    # and the solution really is good (f64 check)
+    from parapint_tpu.linalg.schur import _kkt_matvec
+
+    kx = _kkt_matvec(fact, x)
+    rel = float(
+        np.linalg.norm(
+            np.concatenate(
+                [
+                    np.asarray(rhs.blocks - kx.blocks).ravel(),
+                    np.asarray(rhs.coupling - kx.coupling),
+                ]
+            )
+        )
+        / np.linalg.norm(
+            np.concatenate(
+                [np.asarray(rhs.blocks).ravel(), np.asarray(rhs.coupling)]
+            )
+        )
+    )
+    assert rel < 1e-6, rel
+
+
+def test_adaptive_refinement_stall_reports_error_serial_and_sharded():
+    """A cond~1e14 system whose f32-factor refinement diverges must NOT
+    report successful (NaN/overflowed residuals read as converged before:
+    NaN > thresh is False, and f32 norm-squares of ~1e20 garbage iterates
+    overflow to inf).  Both the serial and the sharded solver must surface
+    the stall through solve_with_status."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(0)
+    N, nk, nc = 4, 16, 3
+    blocks = []
+    for _ in range(N):
+        Q, _ = np.linalg.qr(rng.standard_normal((nk, nk)))
+        blocks.append(Q @ np.diag(np.logspace(0, -14, nk)) @ Q.T)
+    border = rng.standard_normal((N, nc, nk)) * 1e-9
+    kkt = BlockKKT.make(
+        jnp.asarray(np.stack(blocks)), jnp.asarray(border), jnp.asarray(np.eye(nc))
+    )
+    rhs = BlockRhs(
+        blocks=jnp.asarray(rng.standard_normal((N, nk))),
+        coupling=jnp.asarray(rng.standard_normal(nc)),
+    )
+    ser = SchurComplementSolver(
+        block_size=16, explicit_inverse=True, factor_dtype=jnp.float32
+    )
+    _, st = ser.solve_with_status(ser.numeric(kkt), rhs)
+    assert int(st) != int(LinearSolverStatus.successful)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("blocks",))
+    sh = ShardedSchurComplementSolver(
+        mesh=mesh, block_size=16, explicit_inverse=True, factor_dtype=jnp.float32
+    )
+    _, st2 = sh.solve_with_status(sh.numeric(kkt), rhs)
+    assert int(st2) != int(LinearSolverStatus.successful)
