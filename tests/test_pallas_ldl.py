@@ -71,3 +71,46 @@ def test_panel_winv_kernel_matches_xla(  # new fused factor+inverse kernel
     W_ref = np.linalg.inv(L)
     np.testing.assert_allclose(np.asarray(out), np.asarray(F_ref), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(W), W_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_end_to_end_ip_solve_with_interpret_kernels(monkeypatch):
+    """Full fused IP solve with the PALLAS kernels in interpret mode.
+
+    The unit tests above check kernel outputs; this drives the production
+    TPU kernel path (batched factor + fused factor+inverse) through a real
+    interior-point solve, so kernel-numerics regressions that only show up
+    in composition (e.g. the pivot-row/column asymmetry fix, which cost
+    ~2x iterations while every unit check still passed tolerance) fail CI.
+    """
+    import functools
+
+    import jax
+    import parapint_tpu.ops.pallas_ldl as pl
+
+    monkeypatch.setattr(pl, "available", lambda: True)
+    for name in ("ldl_panels", "ldl_panels_batched", "ldl_panels_batched_winv"):
+        fn = getattr(pl, name)
+        monkeypatch.setattr(pl, name, functools.partial(fn, interpret=True))
+
+    import parapint_tpu as pt
+    from parapint_tpu.examples import burgers
+
+    spec = burgers.build_spec(nfe_x=10, nfe_t=16, num_time_blocks=4)
+    iface = pt.DynamicSchurComplementInteriorPointInterface(
+        spec, kkt_dtype=jnp.float32
+    )
+    opts = pt.IPOptions()
+    opts.tol = 1e-8
+    opts.linalg.solver = pt.SchurComplementSolver(
+        block_size=128,
+        explicit_inverse=True,
+        factor_dtype=jnp.float32,
+        refine_steps=0,
+        schur_complement_solver=pt.BlockTridiagSolver(),
+    )
+    solve = pt.make_fused_ip_solve(iface, opts)
+    iface.set_bounds_relaxation_factor(opts.bounds_relaxation_factor)
+    res = solve(iface.init_state())
+    assert int(res.status) == pt.InteriorPointStatus.optimal.value
+    # the kernel-asymmetry regression showed up as ~2x this count
+    assert int(res.iterations) <= 9, int(res.iterations)
