@@ -200,11 +200,30 @@ def make_fused_ip_solve(interface, options: Optional[IPOptions] = None):
         err_mu = jnp.maximum(
             info.primal_inf, jnp.maximum(info.dual_inf, info.compl_inf_mu)
         )
-        mu_next = jnp.where(
+        mu_monotone = jnp.where(
             err_mu <= mu_decrease_gate * mu,
             jnp.maximum(mu_min, jnp.minimum(0.5 * mu, mu**1.5)),
             mu,
         )
+        if options.barrier_strategy == "adaptive":
+            # LOQO/Vanderbei-Shanno centrality rule (see IPOptions docstring);
+            # falls back to the monotone rule when the problem has no finite
+            # bounds (compl_count == 0) or the products degenerate.
+            avg = info.compl_avg
+            xi = info.compl_min / jnp.maximum(avg, 1e-300)
+            sigma = 0.1 * jnp.minimum(
+                0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-12), 2.0
+            ) ** 3
+            mu_adaptive = jnp.clip(
+                sigma * avg, mu_min, options.init_barrier_parameter
+            )
+            mu_next = jnp.where(
+                jnp.logical_and(info.compl_count > 0, avg > 0.0),
+                mu_adaptive,
+                mu_monotone,
+            )
+        else:
+            mu_next = mu_monotone
 
         def do_step(args):
             state, mu, filt = args

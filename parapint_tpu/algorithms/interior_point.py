@@ -330,7 +330,17 @@ def ip_solve(
         if max(primal_inf, dual_inf, compl_inf_0) <= options.tol:
             status = InteriorPointStatus.optimal
             break
-        if (
+        if options.barrier_strategy == "adaptive" and int(info.compl_count) > 0:
+            # LOQO/Vanderbei-Shanno centrality rule (see IPOptions docstring)
+            avg = float(info.compl_avg)
+            if avg > 0.0:
+                xi = float(info.compl_min) / avg
+                sigma = 0.1 * min(0.05 * (1.0 - xi) / max(xi, 1e-12), 2.0) ** 3
+                barrier_parameter = min(
+                    options.init_barrier_parameter,
+                    max(options.minimum_barrier_parameter, sigma * avg),
+                )
+        elif (
             max(primal_inf, dual_inf, compl_inf_mu)
             <= options.barrier_decrease * barrier_parameter
         ):

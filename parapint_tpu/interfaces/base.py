@@ -284,6 +284,14 @@ class ConvergenceInfo:
     dual_inf: jax.Array
     compl_inf_0: jax.Array
     compl_inf_mu: jax.Array
+    # raw (unscaled) complementarity-product statistics over the finite
+    # bounds, for adaptive barrier rules: mean, min and count of the
+    # products (x-lb) z_lb / (ub-x) z_ub.  count == 0 (no finite bounds)
+    # means avg/min are meaningless; consumers must fall back to the
+    # monotone rule.
+    compl_avg: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(0.0))
+    compl_min: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(jnp.inf))
+    compl_count: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(0))
 
 
 def _compl_residuals(x, lb, ub, z_lb, z_ub, barrier):
@@ -294,6 +302,21 @@ def _compl_residuals(x, lb, ub, z_lb, z_ub, barrier):
     lb_resid = jnp.where(lb_fin, (x - lb_mod) * z_lb - barrier, 0.0)
     ub_resid = jnp.where(ub_fin, (ub_mod - x) * z_ub - barrier, 0.0)
     return jnp.maximum(_absmax(lb_resid), _absmax(ub_resid))
+
+
+def _compl_product_stats(x, lb, ub, z_lb, z_ub):
+    """(sum, count, min) of the complementarity products over finite bounds."""
+    lb_fin = jnp.isfinite(lb)
+    ub_fin = jnp.isfinite(ub)
+    lb_prod = jnp.where(lb_fin, (x - jnp.where(lb_fin, lb, 0.0)) * z_lb, 0.0)
+    ub_prod = jnp.where(ub_fin, (jnp.where(ub_fin, ub, 0.0) - x) * z_ub, 0.0)
+    total = jnp.sum(lb_prod) + jnp.sum(ub_prod)
+    count = jnp.sum(lb_fin) + jnp.sum(ub_fin)
+    mn = jnp.minimum(
+        jnp.min(jnp.where(lb_fin, lb_prod, jnp.inf), initial=jnp.inf),
+        jnp.min(jnp.where(ub_fin, ub_prod, jnp.inf), initial=jnp.inf),
+    )
+    return total, count, mn
 
 
 def convergence_metrics(
@@ -365,10 +388,23 @@ def convergence_metrics(
     compl_scaling = abs_bound_dual_sum / jnp.maximum(n_bound_duals, 1)
     compl_scaling = jnp.maximum(error_scaling, compl_scaling) / error_scaling
 
+    p_sum, p_cnt, p_min = _compl_product_stats(
+        primals, primals_lb, primals_ub, duals_primals_lb, duals_primals_ub
+    )
+    s_sum, s_cnt, s_min = _compl_product_stats(
+        slacks, ineq_lb, ineq_ub, duals_slacks_lb, duals_slacks_ub
+    )
+    compl_count = p_cnt + s_cnt
+    compl_avg = (p_sum + s_sum) / jnp.maximum(compl_count, 1)
+    compl_min = jnp.minimum(p_min, s_min)
+
     return ConvergenceInfo(
         objective=objective,
         primal_inf=primal_inf,
         dual_inf=dual_inf / dual_scaling,
         compl_inf_0=compl_0 / compl_scaling,
         compl_inf_mu=compl_mu / compl_scaling,
+        compl_avg=compl_avg,
+        compl_min=compl_min,
+        compl_count=compl_count,
     )

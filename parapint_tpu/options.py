@@ -84,6 +84,17 @@ class IPOptions:
     init_barrier_parameter: float = 0.1
     minimum_barrier_parameter: float = 1e-9
     barrier_decrease: float = 10.0
+    # "monotone": the reference's Fiacco-McCormick rule
+    #   mu <- max(mu_min, min(0.5 mu, mu^1.5)) gated on the mu-convergence
+    #   test (reference interior_point.py:520-528).
+    # "adaptive": LOQO/Vanderbei-Shanno centrality rule (beyond-reference,
+    #   cf. IPOPT's mu_strategy=adaptive):
+    #   xi = min_i(w_i)/avg(w_i) over the complementarity products w_i,
+    #   sigma = 0.1 min(0.05 (1-xi)/xi, 2)^3, mu = sigma * avg(w_i),
+    #   clamped to [minimum_barrier_parameter, init_barrier_parameter].
+    #   Typically converges in fewer iterations; falls back to monotone
+    #   when the problem has no finite bounds.
+    barrier_strategy: str = "monotone"
     report_timing: bool = False
     use_inertia_correction: bool = True
     inertia_correction: InertiaCorrectionOptions = field(default_factory=InertiaCorrectionOptions)
@@ -99,6 +110,11 @@ class IPOptions:
         _check_positive("init_barrier_parameter", self.init_barrier_parameter)
         _check_positive("minimum_barrier_parameter", self.minimum_barrier_parameter)
         _check_positive("barrier_decrease", self.barrier_decrease)
+        if self.barrier_strategy not in ("monotone", "adaptive"):
+            raise ValueError(
+                "barrier_strategy must be 'monotone' or 'adaptive', "
+                f"got {self.barrier_strategy!r}"
+            )
         _check_positive("error_scaling", self.error_scaling)
         _check_nonnegative("bounds_relaxation_factor", self.bounds_relaxation_factor)
         self.inertia_correction.validate()
