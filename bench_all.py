@@ -144,6 +144,44 @@ def main():
         except Exception as e:  # keep the matrix running
             print(json.dumps({"config": name, "error": str(e)[:200]}), flush=True)
 
+    # condensed structured solver at the reference's DEFAULT perf-harness
+    # scale (n_q_per_block=5000, n_y_multiplier=120 -> 605,010 variables
+    # per block; /root/reference/parapint/examples/performance/
+    # schur_complement/main.py:63-73), with planted-theta recovery
+    try:
+        from parapint_tpu.examples.performance import schur_complement as perf
+
+        r = perf.run(
+            method="csc",
+            n_blocks=3,
+            n_q_per_block=5000,
+            n_y_multiplier=120,
+            verbose=False,
+        )
+        print(
+            json.dumps(
+                {
+                    "config": "condensed_lsq_refscale_605k_vars_per_block",
+                    "theta_max_err": round(r.max_err, 6),
+                    "theta_recovered": bool(r.max_err < 1.0),
+                    "symbolic_s": round(r.symbolic_time, 4),
+                    "numeric_s": round(r.numeric_time, 4),
+                    "back_solve_s": round(r.back_solve_time, 4),
+                    "total_s": round(r.total_time, 4),
+                    "status": r.status,
+                }
+            ),
+            flush=True,
+        )
+    except Exception as e:
+        print(
+            json.dumps(
+                {"config": "condensed_lsq_refscale_605k_vars_per_block",
+                 "error": str(e)[:200]}
+            ),
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -85,6 +85,14 @@ class DynamicModelSpec:
     eq_mask: Optional[object] = None
     ineq_mask: Optional[object] = None
     x_mask: Optional[object] = None
+    # warm-start values from a prior solve (reference interface.py:262-282,
+    # :621-649 initializes duals from ipopt suffixes); all optional:
+    y_eq0: Optional[object] = None  # (N, n_eq) equality duals
+    y_ineq0: Optional[object] = None  # (N, n_ineq) inequality duals
+    zl0: Optional[object] = None  # (N, n) lower bound duals
+    zu0: Optional[object] = None  # (N, n) upper bound duals
+    lam0: Optional[object] = None  # (N, 2*num_states) link duals [bwd, fwd]
+    c0: Optional[object] = None  # ((N-1)*num_states,) coupling values
 
     def __post_init__(self):
         N = self.num_blocks
@@ -135,6 +143,22 @@ class DynamicModelSpec:
         self.gl[~self.ineq_mask] = -np.inf
         self.gu[~self.ineq_mask] = np.inf
 
+        # warm-start arrays: validate/broadcast when supplied
+        def _warm(arr, shape):
+            if arr is None:
+                return None
+            return jnp.broadcast_to(
+                jnp.asarray(arr, dtype=jnp.float64), shape
+            )
+
+        ns = self.num_states
+        self.y_eq0 = _warm(self.y_eq0, (N, me))
+        self.y_ineq0 = _warm(self.y_ineq0, (N, mi))
+        self.zl0 = _warm(self.zl0, (N, n))
+        self.zu0 = _warm(self.zu0, (N, n))
+        self.lam0 = _warm(self.lam0, (N, 2 * ns))
+        self.c0 = _warm(self.c0, ((N - 1) * ns,))
+
 
 class DynamicSchurComplementInteriorPointInterface(StructuredSCInterface):
     """Interface for dynamic problems (see module docstring).
@@ -171,6 +195,10 @@ class DynamicSchurComplementInteriorPointInterface(StructuredSCInterface):
         self._xl, self._xu = spec.xl, spec.xu
         self._gl, self._gu = spec.gl, spec.gu
         self.x0 = spec.x0
+        self._warm_start = dict(
+            y_eq0=spec.y_eq0, y_ineq0=spec.y_ineq0, zl0=spec.zl0,
+            zu0=spec.zu0, lam0=spec.lam0, c0=spec.c0,
+        )
 
         # link structure: rows [0, ns) = backward, [ns, 2ns) = forward
         blk = np.arange(N)

@@ -64,6 +64,14 @@ class StochasticModelSpec:
     eq_mask: Optional[object] = None
     ineq_mask: Optional[object] = None
     x_mask: Optional[object] = None
+    # warm-start values from a prior solve (reference interface.py:262-282,
+    # :621-649); all optional:
+    y_eq0: Optional[object] = None  # (N, n_eq) equality duals
+    y_ineq0: Optional[object] = None  # (N, n_ineq) inequality duals
+    zl0: Optional[object] = None  # (N, n) lower bound duals
+    zu0: Optional[object] = None  # (N, n) upper bound duals
+    lam0: Optional[object] = None  # (N, L) nonanticipativity duals
+    c0: Optional[object] = None  # (L,) first-stage (coupling) values
 
     def __post_init__(self):
         N = self.num_scenarios
@@ -110,9 +118,37 @@ class StochasticModelSpec:
         self.gl[~self.ineq_mask] = -np.inf
         self.gu[~self.ineq_mask] = np.inf
 
+        def _warm(arr, shape):
+            if arr is None:
+                return None
+            return jnp.broadcast_to(
+                jnp.asarray(arr, dtype=jnp.float64), shape
+            )
+
+        L = self.n_first_stage
+        self.y_eq0 = _warm(self.y_eq0, (N, me))
+        self.y_ineq0 = _warm(self.y_ineq0, (N, mi))
+        self.zl0 = _warm(self.zl0, (N, n))
+        self.zu0 = _warm(self.zu0, (N, n))
+        self.lam0 = _warm(self.lam0, (N, L))
+        self.c0 = _warm(self.c0, (L,))
+
 
 class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
-    """Interface for two-stage stochastic programs (see module docstring)."""
+    """Interface for two-stage stochastic programs (see module docstring).
+
+    Parameters
+    ----------
+    ownership_map: optional (N,) int array mapping scenario -> shard index,
+        for load balancing when scenarios are heterogeneous in cost — the
+        counterpart of the reference's user-supplied ``ownership_map``
+        (mpi_sc_ip_interface.py:288-336).  Every shard must own the same
+        number of scenarios (the sharded solver partitions the block axis
+        evenly).  Internally this becomes a stable permutation ordering the
+        scenario axis by shard before contiguous sharding; per-scenario
+        accessors (``get_block_primals``) still take ORIGINAL scenario
+        indices.  Requires ``mesh``.
+    """
 
     def __init__(
         self,
@@ -120,6 +156,7 @@ class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
         mesh=None,
         axis_name: str = "blocks",
         kkt_dtype=None,
+        ownership_map=None,
     ):
         self.spec = spec
         N = spec.num_scenarios
@@ -129,16 +166,54 @@ class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
         self.ncv = L
         self.n_link = L
 
+        # scenario -> shard ownership: reorder the scenario axis so each
+        # shard's scenarios are contiguous (the sharded solver then assigns
+        # them by plain contiguous sharding)
+        if ownership_map is not None:
+            if mesh is None:
+                raise ValueError("ownership_map requires mesh")
+            own = np.asarray(ownership_map, dtype=np.int64)
+            if own.shape != (N,):
+                raise ValueError(
+                    f"ownership_map must be ({N},), got {own.shape}"
+                )
+            n_shards = mesh.shape[axis_name]
+            if own.min() < 0 or own.max() >= n_shards:
+                raise ValueError(
+                    f"ownership_map entries must be in [0, {n_shards})"
+                )
+            counts = np.bincount(own, minlength=n_shards)
+            if not np.all(counts == N // n_shards) or N % n_shards:
+                raise ValueError(
+                    "ownership_map must assign the same number of scenarios "
+                    f"to every shard (got counts {counts.tolist()})"
+                )
+            perm = np.argsort(own, kind="stable")
+        else:
+            perm = np.arange(N)
+        self.block_perm = perm  # storage order -> original scenario index
+        self._inv_perm = np.argsort(perm)
+
+        def _p(a):
+            """Permute the leading (scenario) axis into storage order."""
+            return None if a is None else np.asarray(a)[perm]
+
         self.fns = BatchedNLPFunctions(
             spec.objective, spec.eq_constraints, spec.ineq_constraints, n, me, mi
         )
-        self.params = jax.tree_util.tree_map(jnp.asarray, spec.params)
-        self.eq_mask = jnp.asarray(spec.eq_mask)
-        self.ineq_mask = jnp.asarray(spec.ineq_mask)
-        self.x_mask = jnp.asarray(spec.x_mask)
-        self._xl, self._xu = spec.xl, spec.xu
-        self._gl, self._gu = spec.gl, spec.gu
-        self.x0 = spec.x0
+        self.params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)[perm]), spec.params
+        )
+        self.eq_mask = jnp.asarray(_p(spec.eq_mask))
+        self.ineq_mask = jnp.asarray(_p(spec.ineq_mask))
+        self.x_mask = jnp.asarray(_p(spec.x_mask))
+        self._xl, self._xu = _p(spec.xl), _p(spec.xu)
+        self._gl, self._gu = _p(spec.gl), _p(spec.gu)
+        self.x0 = jnp.asarray(_p(spec.x0))
+        self._warm_start = dict(
+            y_eq0=_p(spec.y_eq0), y_ineq0=_p(spec.y_ineq0), zl0=_p(spec.zl0),
+            zu0=_p(spec.zu0), lam0=_p(spec.lam0), c0=spec.c0,
+        )
 
         ones = np.ones((N, L))
         self.link_rows = jnp.asarray(selector_rows(spec.first_stage_idx, ones, n))
@@ -154,9 +229,15 @@ class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
 
     # -- stochastic-specific accessors --------------------------------------
 
+    def get_block_primals(self, ndx: int):
+        """Primals of ORIGINAL scenario ``ndx`` (ownership permutation
+        applied)."""
+        return self._current_state.primals["blocks"][self._inv_perm[ndx]]
+
     def get_first_stage_values(self):
         """Consensus first-stage variable values (the coupling variables)."""
         return self._current_state.primals["coupling"]
 
     def get_duals_nonanticipativity(self):
-        return self._current_state.duals_eq["link"]
+        """(N, L) nonanticipativity duals, in ORIGINAL scenario order."""
+        return self._current_state.duals_eq["link"][jnp.asarray(self._inv_perm)]

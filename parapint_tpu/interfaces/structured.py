@@ -216,27 +216,62 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         b = self.bounds
         base.validate_bounds(np.asarray(b.xl["blocks"]), np.asarray(b.xu["blocks"]))
         base.validate_bounds(np.asarray(b.gl), np.asarray(b.gu))
+        # warm-start values from a prior solve, when the spec supplies them
+        # (reference interface.py:262-282 and :621-649 initializes all four
+        # bound-dual families plus eq/ineq duals from ipopt suffixes)
+        warm = getattr(self, "_warm_start", {}) or {}
+        y_eq0 = warm.get("y_eq0")
+        y_ineq0 = warm.get("y_ineq0")
+        zl0 = warm.get("zl0")
+        zu0 = warm.get("zu0")
+        lam0 = warm.get("lam0")
+        c0 = warm.get("c0")
         x = base.process_init(self.x0, b.xl["blocks"], b.xu["blocks"])
-        c = jnp.zeros(self.ncv)
+        c = jnp.zeros(self.ncv) if c0 is None else jnp.asarray(c0)
         s0 = self.fns.c_ineq(self.x0, self.params, self.x_mask, self.ineq_mask)
         s = base.process_init(s0, b.gl, b.gu)
+        zl_w = jnp.ones((self.N, self.n)) if zl0 is None else jnp.asarray(zl0)
+        zu_w = jnp.ones((self.N, self.n)) if zu0 is None else jnp.asarray(zu0)
         zl = base.process_init_duals_lb(
-            jnp.where(jnp.isneginf(b.xl["blocks"]), 0.0, 1.0), b.xl["blocks"]
+            jnp.where(jnp.isneginf(b.xl["blocks"]), 0.0, zl_w), b.xl["blocks"]
         )
         zu = base.process_init_duals_ub(
-            jnp.where(jnp.isposinf(b.xu["blocks"]), 0.0, 1.0), b.xu["blocks"]
+            jnp.where(jnp.isposinf(b.xu["blocks"]), 0.0, zu_w), b.xu["blocks"]
         )
-        vl = base.process_init_duals_lb(jnp.zeros((self.N, self.mi)), b.gl)
-        vu = base.process_init_duals_ub(jnp.zeros((self.N, self.mi)), b.gu)
+        # slack duals split from warm ineq duals by sign (interface.py:275-279)
+        vl_w = (
+            jnp.zeros((self.N, self.mi))
+            if y_ineq0 is None
+            else jnp.maximum(jnp.asarray(y_ineq0), 0.0)
+        )
+        vu_w = (
+            jnp.zeros((self.N, self.mi))
+            if y_ineq0 is None
+            else jnp.maximum(-jnp.asarray(y_ineq0), 0.0)
+        )
+        vl = base.process_init_duals_lb(vl_w, b.gl)
+        vu = base.process_init_duals_ub(vu_w, b.gu)
         zeros_c = jnp.zeros(self.ncv)
         state = IPState(
             primals={"blocks": x, "coupling": c},
             slacks=s,
             duals_eq={
-                "own": jnp.zeros((self.N, self.me)),
-                "link": jnp.zeros((self.N, self.n_link)),
+                "own": (
+                    jnp.zeros((self.N, self.me))
+                    if y_eq0 is None
+                    else jnp.asarray(y_eq0)
+                ),
+                "link": (
+                    jnp.zeros((self.N, self.n_link))
+                    if lam0 is None
+                    else jnp.asarray(lam0) * self.link_mask
+                ),
             },
-            duals_ineq=jnp.zeros((self.N, self.mi)),
+            duals_ineq=(
+                jnp.zeros((self.N, self.mi))
+                if y_ineq0 is None
+                else jnp.asarray(y_ineq0)
+            ),
             duals_primals_lb={"blocks": zl, "coupling": zeros_c},
             duals_primals_ub={"blocks": zu, "coupling": zeros_c},
             duals_slacks_lb=vl,

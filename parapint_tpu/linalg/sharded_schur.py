@@ -105,11 +105,13 @@ class ShardedSchurComplementSolver(LinearSolver):
         # f32 applies
         self.apply_dtype = apply_dtype
         # refine_steps=None -> adaptive refinement (cheap f32 residual probe
-        # gates the f64 pass); see SchurComplementSolver.__init__.
-        self.adaptive_refine = refine_steps is None and explicit_inverse
+        # gates the f64 pass); see SchurComplementSolver.__init__.  Like the
+        # serial solver, refinement is independent of the factor form: it
+        # applies in LD mode (explicit_inverse=False) too.
+        self.adaptive_refine = refine_steps is None
         if refine_steps is None:
             refine_steps = 1
-        self.refine_steps = refine_steps if explicit_inverse else 0
+        self.refine_steps = refine_steps
         self.refine_trigger = refine_trigger
         self.refine_max_passes = refine_max_passes
         self.n_shards = mesh.shape[axis_name]

@@ -517,6 +517,7 @@ def _panel_factor_batch_winv(Akk: jax.Array):
     if (
         Akk.dtype == jnp.float32
         and Akk.shape[-1] <= 128
+        and pallas_ldl.winv_max_chunk(Akk.shape[-1]) >= 1
         and pallas_ldl.available()
     ):
         return pallas_ldl.ldl_panels_batched_winv(Akk)

@@ -124,16 +124,40 @@ def _panel_kernel_batched_winv(a_ref, out_ref, w_ref):
     w_ref[...] = W
 
 
+# Scoped-VMEM stack model for the winv kernel, MEASURED on a v5e chip
+# (tools/kernel_lab.py): Mosaic keeps ~40 live (b, b) f32 intermediates per
+# chunk element through the unrolled column loop (the compiler reported
+# 42.32M scoped at chunk=16, b=128 -> 2.645M/element = ~40 panels).  The
+# scoped limit is 16M; budget 12M for safety margin.
+_WINV_LIVE_PANELS = 40
+_SCOPED_VMEM_BUDGET = 12 * 2**20
+
+
+def winv_max_chunk(b: int) -> int:
+    """Largest chunk for :func:`ldl_panels_batched_winv` that fits the
+    scoped-VMEM stack at panel size ``b`` (empirical model above)."""
+    per_elem = _WINV_LIVE_PANELS * 4 * b * b
+    return max(0, _SCOPED_VMEM_BUDGET // per_elem)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def ldl_panels_batched_winv(
-    A: jax.Array, chunk: int = 16, interpret: bool = False
+    A: jax.Array, chunk: int | None = None, interpret: bool = False
 ):
     """Batched panel factorization + panel inverse: (B, b, b) ->
-    (packed (B, b, b), W = L^{-1} (B, b, b)).  Smaller default chunk than
-    :func:`ldl_panels_batched`: the kernel keeps one extra (C, b, b) buffer
-    live in VMEM."""
+    (packed (B, b, b), W = L^{-1} (B, b, b)).
+
+    Default chunk: the measured sweet spot (:func:`panel_chunk_default`),
+    additionally clamped to the measured scoped-VMEM budget
+    (``winv_max_chunk``) — at b=128 the effective chunk is 4 (validated on
+    chip: 0.092 ms for (64, 128, 128); chunk>=8 exceeds the 16M scoped
+    limit and fails to compile, the round-2 benchmark crash)."""
     B, b, b2 = A.shape
     assert b == b2
+    if chunk is None:
+        chunk = panel_chunk_default(b)
+    if not interpret:
+        chunk = min(chunk, max(1, winv_max_chunk(b)))
     C = min(chunk, B)
     rem = (-B) % C
     if rem:
@@ -165,18 +189,34 @@ def ldl_panels_batched_winv(
     return out[:B], w[:B]
 
 
+def panel_chunk_default(b: int) -> int:
+    """Measured-on-chip chunk sweet spot for the batched panel kernels.
+
+    v5e measurements at b=128, B=64 (tools/kernel_lab*.py): chunk=4 runs the
+    whole batch in 0.07-0.09 ms while chunk in {2, 8, 16, 32} takes 23-29 ms
+    (where it compiles at all) — a ~300x cliff.  C*b = 512 keeps each
+    column-step operand at 4 f32 vregs per (8, 128) tile row; larger chunks
+    blow the live-range budget (winv: scoped-VMEM OOM), smaller ones starve
+    the VPU.
+    """
+    return max(1, min(16, 512 // b))
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def ldl_panels_batched(
-    A: jax.Array, chunk: int = 32, interpret: bool = False
+    A: jax.Array, chunk: int | None = None, interpret: bool = False
 ) -> jax.Array:
     """Batched panel factorization: (B, b, b) -> packed (B, b, b), with the
     batch axis *inside* the kernel (see _panel_kernel_batched).
 
     ``chunk`` bounds VMEM (2 * chunk * b * b * 4 bytes of refs); B is
-    padded up to a chunk multiple with identity panels.
+    padded up to a chunk multiple with identity panels.  Default: the
+    measured sweet spot (see :func:`panel_chunk_default`).
     """
     B, b, b2 = A.shape
     assert b == b2
+    if chunk is None:
+        chunk = panel_chunk_default(b)
     C = min(chunk, B)
     rem = (-B) % C
     if rem:
