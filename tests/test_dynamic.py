@@ -122,6 +122,7 @@ class TestDynamicInterface:
             assert np.isclose(xs[i, T], c[i], atol=1e-7)
             assert np.isclose(xs[i + 1, 0], c[i], atol=1e-7)
 
+    @pytest.mark.slow
     def test_sharded_matches_serial(self):
         if len(jax.devices()) < 4:
             pytest.skip("needs >= 4 devices")

@@ -65,6 +65,7 @@ def test_burgers_small():
         assert np.allclose(end_states, start_next, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_perf_harness_methods_agree():
     """fs / ssc / psc must produce the same planted-theta recovery error
     (reference test_examples.py:85-99 checks fs and psc give the golden

@@ -125,7 +125,9 @@ def _dense_solution(diag, border, q, rhs_blocks, rhs_coupling):
     return np.linalg.solve(M, r)
 
 
-@pytest.mark.parametrize("N", [7, 5])
+@pytest.mark.parametrize(
+    "N", [pytest.param(7, marks=pytest.mark.slow), 5]
+)
 def test_sharded_auto_pads_nondivisible_blocks(N):
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
@@ -160,6 +162,7 @@ def test_sharded_auto_pads_nondivisible_blocks(N):
     assert (int(pos), int(neg), int(zero)) == (int(spos), int(sneg), int(szero))
 
 
+@pytest.mark.slow
 def test_pcg_sharded_auto_pads():
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
@@ -298,6 +301,7 @@ def test_kkt_dtype_with_higher_precision_factor_warns():
     assert not any("reduced precision" in str(x.message) for x in w2)
 
 
+@pytest.mark.slow
 def test_sharded_chain_kkt_nondivisible_blocks_matches_serial():
     """Regression: auto-padding a CHAIN KKT must not corrupt the solution.
 
@@ -407,6 +411,7 @@ def test_adaptive_probe_ill_scaled_kkt_not_flagged():
     assert rel < 1e-6, rel
 
 
+@pytest.mark.slow
 def test_adaptive_refinement_stall_reports_error_serial_and_sharded():
     """A cond~1e14 system whose f32-factor refinement diverges must NOT
     report successful (NaN/overflowed residuals read as converged before:

@@ -84,6 +84,7 @@ def check_solution(interface):
 
 
 class TestFarmer:
+    @pytest.mark.slow  # farmer goldens also covered by test_examples
     def test_serial(self):
         interface = pt.StochasticSchurComplementInteriorPointInterface(make_spec())
         options = pt.IPOptions()
@@ -92,6 +93,7 @@ class TestFarmer:
         assert status == pt.InteriorPointStatus.optimal
         check_solution(interface)
 
+    @pytest.mark.slow
     def test_sharded(self):
         if len(jax.devices()) < 3:
             pytest.skip("needs >= 3 devices")

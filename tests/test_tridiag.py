@@ -36,7 +36,11 @@ def make_tridiag(m, ns, seed=0):
     return BlockTridiag(jnp.asarray(diag), jnp.asarray(upper))
 
 
-@pytest.mark.parametrize("m,ns", [(1, 3), (2, 4), (5, 4), (7, 3), (8, 6), (63, 7)])
+@pytest.mark.parametrize(
+    "m,ns",
+    [(1, 3), (2, 4), (5, 4), (7, 3), (8, 6),
+     pytest.param(63, 7, marks=pytest.mark.slow)],
+)
 def test_cr_vs_dense_oracle(m, ns):
     tri = make_tridiag(m, ns, seed=m + ns)
     S = np.asarray(tri.todense())
@@ -109,6 +113,7 @@ def test_tridiag_sc_matches_dense_sc(n_blocks):
     assert [int(v) for v in dense.inertia(f1)] == [int(v) for v in tri.inertia(f2)]
 
 
+@pytest.mark.slow
 def test_tridiag_sc_sharded_matches_serial():
     if len(jax.devices()) < 3:
         pytest.skip("needs 3 devices")

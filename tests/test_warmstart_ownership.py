@@ -116,7 +116,9 @@ class TestOwnershipMap:
         options.linalg.solver = pt.ShardedSchurComplementSolver(
             mesh, "blocks", block_size=16
         )
-        status = pt.ip_solve(interface, options)
+        # fused solve: one compiled dispatch (the Python-loop sharded path
+        # is covered by test_stochastic.py::TestFarmer::test_sharded)
+        status, _ = pt.ip_solve_fused(interface, options)
         assert status == pt.InteriorPointStatus.optimal
         ts.check_solution(interface)
         # per-scenario accessors answer in ORIGINAL scenario indices:
