@@ -99,7 +99,10 @@ def main():
             b, dtype=jnp.float32
         )
 
-    for chunk in (64, 32, 16, 8):
+    chunks = (
+        [int(c) for c in sys.argv[1:]] if len(sys.argv) > 1 else [16, 32, 8]
+    )
+    for chunk in chunks:
         try:
             f = functools.partial(run_factor_inplace, chunk=chunk)
             F = jax.jit(f)(A)
