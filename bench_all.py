@@ -14,6 +14,7 @@ timing is the second (compile-warm) run.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -126,6 +127,13 @@ def main():
         )
     )
 
+    # optional substring filters: python bench_all.py 256 pcg
+    filters = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if filters:
+        configs = [
+            (n, m) for n, m in configs if any(f in n for f in filters)
+        ]
+
     for name, make in configs:
         try:
             interface, solver = make()
@@ -148,6 +156,8 @@ def main():
     # scale (n_q_per_block=5000, n_y_multiplier=120 -> 605,010 variables
     # per block; /root/reference/parapint/examples/performance/
     # schur_complement/main.py:63-73), with planted-theta recovery
+    if filters and not any(f in "condensed_lsq_refscale" for f in filters):
+        return
     try:
         from parapint_tpu.examples.performance import schur_complement as perf
 
