@@ -106,10 +106,6 @@ def main():
             b, dtype=jnp.float32
         )
 
-    # reference point: current SSA kernel at chunk=4
-    t = timed_loop(lambda x: renorm(P.ldl_panels_batched(x, chunk=4)), A)
-    print(f"ssa chunk=4: {t*1e3:.3f} ms/call")
-
     cases = (
         [(int(a), int(s)) for a, s in
          (arg.split(":") for arg in sys.argv[1:])]
