@@ -46,12 +46,22 @@ def solver_phase_breakdown(solver, kkt, rhs, reps: int = 3):
     """
     import time
 
+    import jax.numpy as jnp
+
+    def _force(out):
+        # value-dependent scalar readback: block_until_ready can complete at
+        # enqueue time on relayed/remote backends (observed on the axon TPU
+        # tunnel), silently reporting near-zero times
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.asarray(leaf).ravel()[0])
+        return out
+
     def _timed(f, *a):
-        out = jax.block_until_ready(f(*a))  # compile
+        out = _force(f(*a))  # compile
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*a))
+            _force(f(*a))
             best = min(best, time.perf_counter() - t0)
         return out, best
 
