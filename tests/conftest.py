@@ -12,10 +12,14 @@ the jax config API, which works any time before the backend is first used.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU tunnel plugin
+# PT_TEST_TPU=1 leaves the real backend in place so the `tpu`-marked tests
+# (tests/test_tpu_kernels.py) run on the chip:
+#   PT_TEST_TPU=1 python -m pytest tests/test_tpu_kernels.py -m tpu
+if os.environ.get("PT_TEST_TPU") != "1":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU tunnel
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
