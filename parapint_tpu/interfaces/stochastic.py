@@ -193,6 +193,7 @@ class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
             perm = np.arange(N)
         self.block_perm = perm  # storage order -> original scenario index
         self._inv_perm = np.argsort(perm)
+        self._perm_is_identity = bool(np.array_equal(perm, np.arange(N)))
 
         def _p(a):
             """Permute the leading (scenario) axis into storage order."""
@@ -228,6 +229,19 @@ class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
         self._finalize(mesh=mesh, axis_name=axis_name, kkt_dtype=kkt_dtype)
 
     # -- stochastic-specific accessors --------------------------------------
+    #
+    # With a non-trivial ownership_map the state is stored with the scenario
+    # axis PERMUTED into shard-contiguous storage order.  Every accessor that
+    # exposes a per-scenario axis de-permutes it back to ORIGINAL scenario
+    # order, so round-tripping results into the warm-start spec fields
+    # (documented as original order, and permuted again by ``_p``) assigns
+    # values to the right scenarios.
+
+    def _deperm(self, a):
+        """De-permute a leading (scenario-storage) axis to ORIGINAL order."""
+        if self._perm_is_identity:
+            return a
+        return a[jnp.asarray(self._inv_perm)]
 
     def get_block_primals(self, ndx: int):
         """Primals of ORIGINAL scenario ``ndx`` (ownership permutation
@@ -240,4 +254,34 @@ class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
 
     def get_duals_nonanticipativity(self):
         """(N, L) nonanticipativity duals, in ORIGINAL scenario order."""
-        return self._current_state.duals_eq["link"][jnp.asarray(self._inv_perm)]
+        return self._deperm(self._current_state.duals_eq["link"])
+
+    def get_primals(self):
+        p = self._current_state.primals
+        return {"blocks": self._deperm(p["blocks"]), "coupling": p["coupling"]}
+
+    def get_slacks(self):
+        return self._deperm(self._current_state.slacks)
+
+    def get_duals_eq(self):
+        """{"own": (N, me), "link": (N, L)}, ORIGINAL scenario order."""
+        d = self._current_state.duals_eq
+        return {"own": self._deperm(d["own"]), "link": self._deperm(d["link"])}
+
+    def get_duals_ineq(self):
+        return self._deperm(self._current_state.duals_ineq)
+
+    def _deperm_bound_duals(self, d):
+        return {"blocks": self._deperm(d["blocks"]), "coupling": d["coupling"]}
+
+    def get_duals_primals_lb(self):
+        return self._deperm_bound_duals(self._current_state.duals_primals_lb)
+
+    def get_duals_primals_ub(self):
+        return self._deperm_bound_duals(self._current_state.duals_primals_ub)
+
+    def get_duals_slacks_lb(self):
+        return self._deperm(self._current_state.duals_slacks_lb)
+
+    def get_duals_slacks_ub(self):
+        return self._deperm(self._current_state.duals_slacks_ub)

@@ -69,6 +69,15 @@ class ShardedSchurComplementSolver(LinearSolver):
     mesh: jax.sharding.Mesh with (at least) ``axis_name``.
     axis_name: mesh axis the blocks are sharded over (default "blocks").
     schur_complement_solver: solver for the (replicated) Schur complement.
+
+    Memory note: with the default ADAPTIVE refinement (refine_steps=None),
+    ``numeric`` retains the full (padded) ``kkt.diag`` and ``kkt.q`` in the
+    returned :class:`SchurFactor` so the refinement residual matvec can run
+    — in LD mode (explicit_inverse=False) as well as W mode.  That is one
+    extra (N, nk, nk) buffer per live factorization plus residual-probe
+    matvecs per solve.  Pass ``refine_steps=0`` to drop both (the pre-round-3
+    LD-mode behavior) when the unrefined factor accuracy is validated for
+    the problem.
     """
 
     def __init__(

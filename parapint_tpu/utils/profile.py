@@ -51,9 +51,17 @@ def solver_phase_breakdown(solver, kkt, rhs, reps: int = 3):
     def _force(out):
         # value-dependent scalar readback: block_until_ready can complete at
         # enqueue time on relayed/remote backends (observed on the axon TPU
-        # tunnel), silently reporting near-zero times
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.asarray(leaf).ravel()[0])
+        # tunnel), silently reporting near-zero times.  The forced scalar
+        # depends on EVERY leaf — a single-leaf readback does not guarantee
+        # completion when the callable issues multiple dispatches or its
+        # first output is produced early.
+        total = 0.0
+        for leaf in jax.tree_util.tree_leaves(out):
+            a = jnp.asarray(leaf)
+            if jnp.issubdtype(a.dtype, jnp.floating) or jnp.issubdtype(
+                a.dtype, jnp.integer
+            ):
+                total += float(jnp.sum(jnp.abs(a.astype(jnp.float32))))
         return out
 
     def _timed(f, *a):

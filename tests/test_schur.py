@@ -175,6 +175,39 @@ def test_sharded_schur_matches_serial(N, nk, nc):
     assert (int(pos), int(neg), int(zero)) == ((w > 0).sum(), (w < 0).sum(), 0)
 
 
+def test_sharded_ld_mode_adaptive_refinement():
+    """Sharded LD mode (explicit_inverse=False) with an f32 factor and the
+    DEFAULT adaptive refinement must refine back to f64 solution accuracy —
+    round 3 removed the old refine_steps=0 forcing in LD mode, and this
+    fast-tier test pins the parity with the serial solver's behavior."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+
+    diag, border, q = make_system(8, 12, 5, seed=11)
+    M = dense_assemble(diag, border, q)
+    rng = np.random.default_rng(7)
+    x_true = rng.standard_normal(M.shape[0])
+    rhs = M @ x_true
+    mesh = Mesh(np.array(jax.devices()[:8]), ("blocks",))
+    solver = ShardedSchurComplementSolver(
+        mesh, "blocks", block_size=8, explicit_inverse=False,
+        factor_dtype=jnp.float32,
+    )
+    assert solver.adaptive_refine
+    fact, xb, xc = run_solver(
+        solver, diag, border, q, rhs[: 8 * 12].reshape(8, 12), rhs[8 * 12 :]
+    )
+    # adaptive refinement keeps diag/q for the residual matvec in LD mode
+    assert fact.diag is not None and fact.q is not None
+    assert fact.block_LD is not None and fact.block_W is None
+    # f32 factor alone is ~1e-5-accurate here; refinement restores ~1e-9
+    err = np.max(
+        np.abs(np.concatenate([xb.reshape(-1), xc]) - x_true)
+    ) / np.max(np.abs(x_true))
+    assert err < 1e-8, err
+
+
 def test_hybrid_precision_factor():
     """factor_dtype=f64 + apply_dtype=f32: pivots/inertia keep f64 fidelity
     while W/d/s (every downstream apply) are f32; adaptive refinement
