@@ -124,6 +124,234 @@ def _panel_kernel_batched_winv(a_ref, out_ref, w_ref):
     w_ref[...] = W
 
 
+def _make_slab_kernel(b: int, r: int, with_w: bool):
+    """Two-level (slab-blocked) panel kernel factory.
+
+    The per-column kernels above are LATENCY-bound: b serial rank-1 steps,
+    each touching the full (C, b, b) chunk (round-3 profile: ~0.7 us/step,
+    ~11 ms of a ~36 ms iteration with the MXU ~96% idle).  This kernel
+    factors the panel in b/r slabs of ``r`` columns:
+
+      * the r serial steps inside a slab touch only the (C, r, b) slab —
+        r = 8 sublanes x b = 128 lanes = ONE vreg per chunk element, 16x
+        less data per dependent step than the full-width rank-1;
+      * the trailing update (columns past the slab) is ONE rank-r
+        dot_general per slab (MXU), not r rank-1 VPU sweeps;
+      * the W = L^{-1} accumulation becomes two rank-r matmuls per slab
+        (W_slab <- L11^{-1} W_slab; W_after -= L21 W_slab) instead of a
+        full-width (C, b, b) rank-1 per column.
+
+    Layout: the kernel works on the TRANSPOSED matrix At = A^T (wrappers
+    transpose in XLA), so a slab of columns is a SUBLANE slice (free) and
+    every serial step reads the TRUE pivot column of A (the round-2 lesson:
+    the factor must derive from the lower triangle only — the trailing
+    block is only symmetric to ulp).  A small (C, r, r) copy ``Q`` of the
+    slab's diagonal block is maintained in column-major layout so the
+    in-slab rank-1 needs no per-step relayout; its updates use bitwise the
+    same products as the slab update, so the two copies never drift.
+    W stays in natural layout (its updates are row-slab matmuls).
+
+    The working matrix lives IN the output ref (initialized from the input
+    ref, then updated in place slab-by-slab), so Mosaic's live-value stack
+    holds only one slab's intermediates — this is what lets the chunk C
+    grow past the per-column kernels' measured cliff (chunk > 4 spilled the
+    ~40-buffer live set; see winv_max_chunk).
+    """
+    nslab = b // r
+    assert nslab * r == b
+
+    def kernel(a_ref, out_ref, *w_refs):
+        dt = a_ref.dtype
+        lane_b = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+        subl_r = lax.broadcasted_iota(jnp.int32, (1, r, 1), 1)
+        lane_r = lax.broadcasted_iota(jnp.int32, (1, 1, r), 2)
+        eye_r = jnp.where(
+            subl_r == lane_r, jnp.ones((), dt), jnp.zeros((), dt)
+        )  # (1, r, r)
+        out_ref[...] = a_ref[...]
+        if with_w:
+            (w_ref,) = w_refs
+            row_b = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+            col_b = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+            eye_b = jnp.where(
+                row_b == col_b, jnp.ones((), dt), jnp.zeros((), dt)
+            )
+            w_ref[...] = jnp.broadcast_to(eye_b, w_ref.shape)
+        for k in range(nslab):
+            j0 = k * r
+            e = j0 + r
+            S = out_ref[:, j0:e, :]  # (C, r, b): row jj = column j0+jj of A
+            # column-major copy of the slab's diagonal block:
+            # Q[c, ii, jj] = A[j0+ii, j0+jj]
+            Q = jnp.swapaxes(S[:, :, j0:e], 1, 2)  # (C, r, r)
+            L11inv = None
+            if with_w:
+                L11inv = jnp.broadcast_to(eye_r, (S.shape[0], r, r))
+            Xraw = jnp.zeros_like(S)  # raw (pre-division) masked columns
+            for jj in range(r):
+                j = j0 + jj
+                colj = S[:, jj : jj + 1, :]  # (C, 1, b) true column j
+                piv = Q[:, jj : jj + 1, jj : jj + 1]  # (C, 1, 1)
+                piv_safe = jnp.where(jnp.abs(piv) > 0, piv, jnp.ones_like(piv))
+                below = lane_b > jnp.int32(j)  # (1, 1, b)
+                l = jnp.where(below, colj / piv_safe, jnp.zeros_like(colj))
+                # raw column values (the rank-1's "colmask"), kept for the
+                # exact trailing update and for packing
+                colmask = jnp.where(below, colj, jnp.zeros_like(colj))
+                Xraw = jnp.where(subl_r == jnp.int32(jj), colmask, Xraw)
+                packed = jnp.where(below, l, colj)
+                S = jnp.where(subl_r == jnp.int32(jj), packed, S)
+                # in-slab rank-1 on rows kk > jj of S (columns j0+kk of A):
+                # S[kk, i] -= x[kk] * l[i], x[kk] = A[j0+kk, j] from Q
+                xsub = jnp.where(
+                    subl_r > jnp.int32(jj), Q[:, :, jj : jj + 1], 0.0
+                )  # (C, r, 1)
+                S = S - xsub * l
+                # Q mirrors the slab-lane part of that update with bitwise
+                # identical products: Q[kk, m] -= x[kk] * l_slab[m]
+                l_slab = l[:, :, j0:e]  # (C, 1, r)
+                Q = Q - xsub * l_slab
+                if with_w:
+                    lq = xsub / piv_safe  # (C, r, 1) = l restricted to slab
+                    L11inv = L11inv - lq * L11inv[:, jj : jj + 1, :]
+            out_ref[:, j0:e, :] = S
+            Lmask = lane_b > (jnp.int32(j0) + subl_r)  # (1, r, b)
+            Ls = jnp.where(Lmask, S, jnp.zeros_like(S))
+            if e < b:
+                # trailing update, one rank-r MXU contraction:
+                # At[k, i] -= sum_jj Xraw[jj, k] * Ls[jj, i]  for k >= e
+                upd = lax.dot_general(
+                    Xraw[:, :, e:],
+                    Ls,
+                    ((( 1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=dt,
+                )  # (C, b - e, b)
+                out_ref[:, e:, :] = out_ref[:, e:, :] - upd
+            if with_w:
+                Ws = w_ref[:, j0:e, :]  # (C, r, b) rows j0..e of W
+                Ws = lax.dot_general(
+                    L11inv,
+                    Ws,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=dt,
+                )
+                w_ref[:, j0:e, :] = Ws
+                if e < b:
+                    # W_after -= L21 @ Ws ; L21[i, jj] = Ls[jj, i], i >= e
+                    wupd = lax.dot_general(
+                        Ls[:, :, e:],
+                        Ws,
+                        (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=dt,
+                    )  # (C, b - e, b)
+                    w_ref[:, e:, :] = w_ref[:, e:, :] - wupd
+
+    return kernel
+
+
+def slab_chunk_default(b: int) -> int:
+    """Chunk for the slab kernels.  Unlike the per-column kernels (whose
+    live-value stack capped the chunk at 4 for b=128), the slab kernel keeps
+    its working state in the output refs; the chunk is bounded by ref VMEM
+    (3 * C * b^2 * 4 bytes) and the measured sweet spot (see
+    docs/benchmarks.md round 4)."""
+    return max(1, min(32, 4096 // b))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "interpret", "slab")
+)
+def ldl_panels_slab(
+    A: jax.Array,
+    chunk: int | None = None,
+    interpret: bool = False,
+    slab: int = 8,
+) -> jax.Array:
+    """Slab-blocked batched panel factorization: (B, b, b) -> packed.
+
+    Same contract as :func:`ldl_panels_batched` (strict lower = L, diagonal
+    = D), computed by the two-level kernel (see :func:`_make_slab_kernel`).
+    Requires b % slab == 0.
+    """
+    B, b, b2 = A.shape
+    assert b == b2 and b % slab == 0
+    if chunk is None:
+        chunk = slab_chunk_default(b)
+    C = min(chunk, B)
+    rem = (-B) % C
+    if rem:
+        eye = jnp.broadcast_to(jnp.eye(b, dtype=A.dtype), (rem, b, b))
+        A = jnp.concatenate([A, eye], axis=0)
+    At = jnp.swapaxes(A, 1, 2)  # kernel works on true columns as sublanes
+    with jax.enable_x64(False):
+        out_t = pl.pallas_call(
+            _make_slab_kernel(b, slab, with_w=False),
+            out_shape=jax.ShapeDtypeStruct(At.shape, At.dtype),
+            grid=(At.shape[0] // C,),
+            in_specs=[
+                pl.BlockSpec(
+                    (C, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (C, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(At)
+    return jnp.swapaxes(out_t, 1, 2)[:B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "interpret", "slab")
+)
+def ldl_panels_slab_winv(
+    A: jax.Array,
+    chunk: int | None = None,
+    interpret: bool = False,
+    slab: int = 8,
+):
+    """Slab-blocked batched panel factorization + panel inverse W = L^{-1}.
+
+    Same contract as :func:`ldl_panels_batched_winv`; W is produced by
+    rank-``slab`` matmuls instead of per-column full-width rank-1s, which
+    removes the scoped-VMEM chunk cliff (winv_max_chunk) entirely.
+    """
+    B, b, b2 = A.shape
+    assert b == b2 and b % slab == 0
+    if chunk is None:
+        chunk = slab_chunk_default(b)
+    C = min(chunk, B)
+    rem = (-B) % C
+    if rem:
+        eye = jnp.broadcast_to(jnp.eye(b, dtype=A.dtype), (rem, b, b))
+        A = jnp.concatenate([A, eye], axis=0)
+    At = jnp.swapaxes(A, 1, 2)
+    with jax.enable_x64(False):
+        out_t, w = pl.pallas_call(
+            _make_slab_kernel(b, slab, with_w=True),
+            out_shape=(
+                jax.ShapeDtypeStruct(At.shape, At.dtype),
+                jax.ShapeDtypeStruct(At.shape, At.dtype),
+            ),
+            grid=(At.shape[0] // C,),
+            in_specs=[
+                pl.BlockSpec(
+                    (C, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (C, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (C, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            interpret=interpret,
+        )(At)
+    return jnp.swapaxes(out_t, 1, 2)[:B], w[:B]
+
+
 # Scoped-VMEM stack model for the winv kernel, MEASURED on a v5e chip
 # (tools/kernel_lab.py): Mosaic keeps ~40 live (b, b) f32 intermediates per
 # chunk element through the unrolled column loop (the compiler reported
@@ -154,10 +382,32 @@ def ldl_panels_batched_winv(
     limit and fails to compile, the round-2 benchmark crash)."""
     B, b, b2 = A.shape
     assert b == b2
+    explicit_chunk = chunk is not None
     if chunk is None:
         chunk = panel_chunk_default(b)
     if not interpret:
-        chunk = min(chunk, max(1, winv_max_chunk(b)))
+        cap = winv_max_chunk(b)
+        if cap < 1:
+            # even chunk=1 exceeds the measured scoped-VMEM stack: the
+            # kernel cannot compile at this panel size (b > ~153).  Callers
+            # that can fall back (ops/ldl.py) gate on winv_max_chunk >= 1;
+            # a direct call must not silently produce the compile failure.
+            raise ValueError(
+                f"panel size b={b} exceeds the winv kernel's scoped-VMEM "
+                f"budget even at chunk=1 (winv_max_chunk(b)=0); use "
+                f"ldl_factor_winv_batched's XLA fallback or b <= 128"
+            )
+        if chunk > cap:
+            if explicit_chunk:
+                import warnings
+
+                warnings.warn(
+                    f"ldl_panels_batched_winv: requested chunk={chunk} "
+                    f"exceeds the scoped-VMEM budget at b={b}; clamping to "
+                    f"{cap}",
+                    stacklevel=2,
+                )
+            chunk = cap
     C = min(chunk, B)
     rem = (-B) % C
     if rem:

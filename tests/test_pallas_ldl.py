@@ -73,6 +73,55 @@ def test_panel_winv_kernel_matches_xla(  # new fused factor+inverse kernel
     np.testing.assert_allclose(np.asarray(W), W_ref, rtol=2e-4, atol=2e-4)
 
 
+def test_slab_kernels_match_unblocked():
+    """Two-level (slab-blocked) kernels vs the XLA reference loop.
+
+    The slab kernel replaces full-width rank-1 steps with slab-local steps
+    plus rank-r MXU trailing updates (round-4 latency fix); its factor must
+    match the unblocked column algorithm to f32 accumulation noise, its W
+    must invert L, and LDL^T must reconstruct A.
+    """
+    import jax
+    from parapint_tpu.ops.pallas_ldl import ldl_panels_slab, ldl_panels_slab_winv
+
+    rng = np.random.default_rng(3)
+    for B, b in [(3, 32), (2, 128), (2, 8)]:
+        A = rng.standard_normal((B, b, b))
+        A = (A + A.swapaxes(1, 2)) / 2 + b * np.eye(b)
+        A[0, b // 2 :, b // 2 :] -= 2 * b * np.eye(b - b // 2)  # indefinite
+        Af = jnp.asarray(A, dtype=jnp.float32)
+        ref = np.tril(np.asarray(jax.vmap(_ldl_unblocked)(Af)))
+        out = np.asarray(ldl_panels_slab(Af, interpret=True))
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(np.tril(out) - ref)) < 1e-5 * scale
+        out2, W = ldl_panels_slab_winv(Af, interpret=True)
+        assert np.array_equal(np.tril(np.asarray(out2)), np.tril(out))
+        L = np.tril(np.asarray(out2), -1) + np.eye(b)
+        assert np.max(np.abs(np.einsum("bij,bjk->bik", np.asarray(W), L) - np.eye(b))) < 1e-4
+        d = np.asarray(jnp.diagonal(out2, axis1=1, axis2=2))
+        rec = np.einsum("bij,bj,bkj->bik", L, d, L)
+        assert np.max(np.abs(rec - A)) < 1e-5 * np.max(np.abs(A))
+
+
+def test_slab_kernel_consistent_on_asymmetric_input():
+    """The slab kernel must keep the pivot-COLUMN dataflow (see
+    test_batched_kernel_consistent_on_asymmetric_input): on ulp-asymmetric
+    input it must agree with the per-column batched kernel to accumulation
+    noise, not drift to the mirror factorization."""
+    from parapint_tpu.ops.pallas_ldl import ldl_panels_batched, ldl_panels_slab
+
+    rng = np.random.default_rng(8)
+    B, b = 4, 32
+    A = rng.standard_normal((B, b, b))
+    A = A + np.swapaxes(A, 1, 2) + 4 * b * np.eye(b)
+    A = (A + 1e-7 * rng.standard_normal((B, b, b))).astype(np.float32)
+    out_s = np.asarray(ldl_panels_slab(jnp.asarray(A), chunk=2, interpret=True))
+    out_c = np.asarray(ldl_panels_batched(jnp.asarray(A), chunk=2, interpret=True))
+    np.testing.assert_allclose(
+        np.tril(out_s), np.tril(out_c), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_end_to_end_ip_solve_with_interpret_kernels(monkeypatch):
     """Full fused IP solve with the PALLAS kernels in interpret mode.
 
