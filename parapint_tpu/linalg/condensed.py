@@ -144,10 +144,22 @@ class CondensedLSQSolver(LinearSolver):
         tile_size: int = 128,
         zero_tol: float = 0.0,
         factor_dtype=None,
+        mesh=None,
+        axis_name: str = "blocks",
     ):
+        """With ``mesh``, the back solve shards the BLOCK axis over
+        ``axis_name`` (the reference's psc parallelism at its default
+        605k-variable scale, main.py:84-102): each shard runs the two
+        vmapped block-solve passes on its own blocks and the coupling rhs
+        reduces with one psum of n_t floats — the factorization itself is
+        block-count independent (A is shared across blocks,
+        create_model.py:79-91) and replicates like the reference's SC
+        factorization."""
         self.tile_size = tile_size
         self.zero_tol = zero_tol
         self.factor_dtype = factor_dtype
+        self.mesh = mesh
+        self.axis_name = axis_name
         self._dense = DenseLDLSolver(block_size=64, zero_tol=zero_tol)
 
     def symbolic(self, kkt: CondensedLSQKKT) -> LinearSolverResults:
@@ -257,6 +269,8 @@ class CondensedLSQSolver(LinearSolver):
         # n_t-column multi-RHS solve precomputed in numeric(); at the
         # current harness scale the back solve is far from dominant, so the
         # simpler two-pass form is kept.
+        if self.mesh is not None:
+            return self._solve_sharded(fact, rhs, kkt)
         nt = kkt.n_t
         zero_t = jnp.zeros(nt, dtype=rhs.blocks.dtype)
         v = jax.vmap(lambda b: self._block_solve(kkt, fact, b, zero_t))(
@@ -269,6 +283,57 @@ class CondensedLSQSolver(LinearSolver):
             rhs.blocks
         )
         return BlockRhs(blocks=x, coupling=theta)
+
+    def _solve_sharded(self, fact, rhs, kkt):
+        """Back solve with the block axis sharded over ``self.axis_name``.
+
+        Per-shard work = the two vmapped condensed block solves on the
+        shard's own blocks; the only collective is ONE psum of the n_t
+        coupling rhs (the reference psc's comm.Allreduce of the SC rhs,
+        mpi_explicit_schur_complement.py:387 — its dense-SC-data Allreduce
+        has no analogue here because S_theta = Q - N S_lam^{-1} is
+        analytic).  The factorization and the theta solve replicate on
+        every shard, exactly like the reference's redundant SC
+        factorization (:352-360).  Non-divisible block counts are padded
+        with zero right-hand sides (a zero rhs contributes zero to the
+        coupling reduction; padded outputs are sliced away).
+        """
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        ax = self.axis_name
+        n_shards = self.mesh.shape[ax]
+        N = rhs.blocks.shape[0]
+        rem = (-N) % n_shards
+        blocks = rhs.blocks
+        if rem:
+            blocks = jnp.concatenate(
+                [blocks, jnp.zeros((rem, blocks.shape[1]), blocks.dtype)]
+            )
+        nt = kkt.n_t
+
+        def local_solve(fact, kkt, blocks, coupling):
+            zero_t = jnp.zeros(nt, dtype=blocks.dtype)
+            v = jax.vmap(lambda b: self._block_solve(kkt, fact, b, zero_t))(
+                blocks
+            )
+            sc_local = jnp.sum(v[:, kkt.off_lam :], axis=0)
+            sc_rhs = coupling + jax.lax.psum(sc_local, ax)
+            theta = self._dense.solve(fact.s_theta_fact, sc_rhs)
+            x = jax.vmap(lambda b: self._block_solve(kkt, fact, b, theta))(
+                blocks
+            )
+            return x, theta
+
+        repl = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
+        x, theta = shard_map(
+            local_solve,
+            mesh=self.mesh,
+            in_specs=(repl(fact), repl(kkt), P(ax), P()),
+            out_specs=(P(ax), P()),
+            check_vma=False,
+        )(fact, kkt, blocks, rhs.coupling)
+        return BlockRhs(blocks=x[:N], coupling=theta)
 
     def inertia(self, fact: CondensedFactor):
         return fact.inertia[0], fact.inertia[1], fact.inertia[2]

@@ -181,6 +181,56 @@ class TestPerfHarnessCsc:
         assert r_csc.status == 0
         assert np.isclose(r_ssc.max_err, r_csc.max_err, rtol=1e-6, atol=1e-9)
 
+    def test_csc_sharded_matches_serial(self):
+        """csc with mesh= shards the back solve's block axis (the reference
+        psc's parallel axis at its default scale, main.py:84-102): the
+        sharded solution must match the serial one to roundoff and recover
+        the planted theta, including at a NON-divisible block count (zero-rhs
+        padding)."""
+        import jax
+        from jax.sharding import Mesh
+        from parapint_tpu.examples.performance import schur_complement as perf
+
+        if len(jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.array(jax.devices()[:8]), ("blocks",))
+        for n_blocks in (8, 11):
+            r_ser = perf.run(
+                method="csc", n_blocks=n_blocks, n_q_per_block=32,
+                n_y_multiplier=2, verbose=False,
+            )
+            r_par = perf.run(
+                method="csc", n_blocks=n_blocks, n_q_per_block=32,
+                n_y_multiplier=2, mesh=mesh, verbose=False,
+            )
+            assert r_par.status == 0
+            assert r_par.max_err < 1.0, r_par.max_err
+            assert np.isclose(
+                r_ser.max_err, r_par.max_err, rtol=1e-10, atol=1e-12
+            ), (n_blocks, r_ser.max_err, r_par.max_err)
+
+    def test_csc_sharded_default_scale_shapes(self):
+        """Planted-theta recovery with the sharded solve at a large block
+        size (scaled-down q-dimension of the reference default family) on
+        the virtual 8-device mesh."""
+        import jax
+        from jax.sharding import Mesh
+        from parapint_tpu.examples.performance import schur_complement as perf
+
+        if len(jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.array(jax.devices()[:8]), ("blocks",))
+        r = perf.run(
+            method="csc", n_blocks=8, n_q_per_block=1000, n_y_multiplier=6,
+            mesh=mesh, verbose=False, warm=True,
+        )
+        assert r.status == 0
+        assert r.max_err < 1.0, r.max_err
+
     def test_csc_large_block(self):
         """A block size far beyond the dense methods' reach (the point of
         the structured path; reference defaults are n_q=5000, mult=120)."""

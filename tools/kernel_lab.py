@@ -1,134 +1,290 @@
-"""On-chip experiments for the panel factorization kernels (run manually).
+"""On-chip kernel lab: one parameterized tool for all TPU kernel experiments.
 
-Finds the chunk sizes / kernel structures that fit the TPU's scoped-VMEM
-budget at the production panel shape (b=128) and measures them, so the
-production defaults in ops/pallas_ldl.py are chip-validated, not guessed.
+Consolidates the round-3 kernel_lab{,2..9}.py one-offs into subcommands.
+Run manually on the real chip:
+
+    env PYTHONPATH=/root/.axon_site:/root/repo python tools/kernel_lab.py <cmd> [args]
+
+Subcommands
+-----------
+  panels   chunk sweep of the batched panel kernels (per-column SSA form
+           and the round-4 slab form) at a given (B, b)
+  factor   amortized timings of the full batched factor variants at the
+           production shape (64, 1024, 1024), per panel algorithm
+  mxu      batched-matmul MXU rates per precision at (B, n, n)
+  solve    back-solve phase pieces: W applies (f32 / bf16), block-tridiag
+           coupling solve, full solver solve()
+  dispatch per-dispatch relay floor (trivial jitted fn)
+
+Measurement methodology (MANDATORY on this host — see the round-3 notes):
+  * `jax.block_until_ready` is UNRELIABLE through the TPU relay (it can
+    complete at enqueue time).  Every timing forces a value-dependent
+    scalar readback (`_force`).
+  * The relay adds a ~27 ms per-dispatch floor and +-2 ms jitter; all
+    kernel timings amortize REPS=20 repetitions inside ONE dispatch
+    (`lax.fori_loop` with a renormalizing step), then take best-of-3.
+
+Dead ends measured in round 3 (do not retry blindly):
+  * per-column kernel at chunk 8..64: 23-29 ms (live-range spill; ~40 live
+    (b,b) buffers per chunk element in the unrolled SSA graph)
+  * per-column IN-PLACE (ref-resident) kernel at large chunk: lowers fine
+    under jax.enable_x64(False), but 2.1 ms/call vs 1.4 ms for SSA chunk=4
+    (the full-buffer VMEM rewrite per column step dominates)
+  * interleaved independent elimination chains: 2.2 ms (register pressure
+    beats latency hiding)
+  * lax.fori_loop panel body in transposed space: Mosaic `dynamic_slice on
+    values` unimplemented — fully-unrolled forms only
 """
 
+import argparse
+import builtins
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+builtins.print = functools.partial(print, flush=True)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+REPS = 20
 
 
-def _kernel_winv_inplace(a_ref, out_ref, w_ref):
-    """winv kernel with ref-resident working buffers (no SSA copies of A/W)."""
-    b = a_ref.shape[-1]
-    row_ids = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
-    col_ids = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
-    eye = jnp.where(row_ids == col_ids, jnp.float32(1), jnp.float32(0))
-    out_ref[...] = a_ref[...]
-    w_ref[...] = jnp.broadcast_to(eye, a_ref.shape).astype(a_ref.dtype)
-    for j in range(b):
-        col = out_ref[:, :, j : j + 1]
-        piv = col[:, j : j + 1, :]
-        piv_safe = jnp.where(jnp.abs(piv) > 0, piv, jnp.ones_like(piv))
-        below = row_ids > jnp.int32(j)
-        l = jnp.where(below, col / piv_safe, jnp.zeros_like(col))
-        colmask = jnp.where(below, col, jnp.zeros_like(col))
-        out_ref[...] = out_ref[...] - l * jnp.swapaxes(colmask, 1, 2)
-        out_ref[:, :, j : j + 1] = jnp.where(below, l, col)
-        w_ref[...] = w_ref[...] - l * w_ref[:, j : j + 1, :]
+def _force(out):
+    """Value-dependent scalar readback over every leaf (see module doc)."""
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(out):
+        a = jnp.asarray(leaf)
+        total += float(jnp.sum(jnp.abs(a.astype(jnp.float32))))
+    return total
 
 
-def run_winv_inplace(A, chunk):
-    B, b, _ = A.shape
-    C = min(chunk, B)
-    return pl.pallas_call(
-        _kernel_winv_inplace,
-        out_shape=(
-            jax.ShapeDtypeStruct(A.shape, A.dtype),
-            jax.ShapeDtypeStruct(A.shape, A.dtype),
-        ),
-        grid=(B // C,),
-        in_specs=[pl.BlockSpec((C, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((C, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-    )(A)
+def timed_loop(step, x0, reps=REPS):
+    """Amortized seconds per `step` application, best of 3 dispatches."""
+
+    @jax.jit
+    def run(x):
+        return lax.fori_loop(0, reps, lambda i, x: step(x), x)
+
+    _force(run(x0))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(run(x0))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
+
+
+def timed_once(f, *a, reps=3):
+    """Whole-dispatch wall time (includes the ~27 ms relay floor)."""
+    _force(f(*a))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _force(f(*a))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def make_spd(B, n, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((B, n, n)).astype(dtype)
+    return jnp.asarray(M @ np.swapaxes(M, 1, 2) + 0.1 * np.eye(n, dtype=dtype))
+
+
+def _renorm(n):
+    def f(x):
+        return x / jnp.maximum(jnp.max(jnp.abs(x)), 1.0) + 0.1 * jnp.eye(
+            n, dtype=x.dtype
+        )
+
+    return f
+
+
+# -- subcommands --------------------------------------------------------------
+
+
+def cmd_panels(args):
+    from parapint_tpu.ops import ldl as L
+    from parapint_tpu.ops import pallas_ldl as P
+
+    B, b = args.B, args.b
+    A = make_spd(B, b)
+    renorm = _renorm(b)
+    F_ref = jax.vmap(L._ldl_unblocked)(A)
+
+    def check(out):
+        return float(jnp.max(jnp.abs(jnp.tril(out) - jnp.tril(F_ref)))) / max(
+            1.0, float(jnp.max(jnp.abs(F_ref)))
+        )
+
+    for algo in args.algos:
+        for chunk in args.chunks:
+            try:
+                if algo == "column":
+                    fn = functools.partial(P.ldl_panels_batched, chunk=chunk)
+                elif algo == "column_winv":
+                    fn = lambda x, c=chunk: P.ldl_panels_batched_winv(x, chunk=c)[0]
+                elif algo == "slab":
+                    fn = functools.partial(
+                        P.ldl_panels_slab, chunk=chunk, slab=args.slab
+                    )
+                elif algo == "slab_winv":
+                    fn = lambda x, c=chunk: P.ldl_panels_slab_winv(
+                        x, chunk=c, slab=args.slab
+                    )[0]
+                else:
+                    raise ValueError(algo)
+                err = check(jax.jit(fn)(A))
+                t = timed_loop(lambda x: renorm(fn(x)), A)
+                print(
+                    f"{algo} chunk={chunk}: {t*1e3:.3f} ms/call rel_err={err:.2e}"
+                )
+            except Exception as ex:
+                print(f"{algo} chunk={chunk}: FAIL {str(ex)[:140]}")
+
+
+def cmd_factor(args):
+    from parapint_tpu.ops import ldl as L
+    from parapint_tpu.ops import pallas_ldl as P
+
+    N, n, bs = args.B, args.n, 128
+    A = make_spd(N, n)
+    renorm = _renorm(n)
+
+    t = timed_loop(renorm, A)
+    print(f"renorm alone: {t*1e3:.3f} ms")
+    t = timed_loop(lambda x: renorm(L.ldl_factor_batched(x, bs)[0]), A)
+    print(f"ldl_factor_batched: {t*1e3:.3f} ms/call")
+    t = timed_loop(lambda x: renorm(L.ldl_factor_winv_batched(x, bs)[2]), A)
+    print(f"ldl_factor_winv_batched: {t*1e3:.3f} ms/call")
+
+    x0 = A[:, :bs, :bs]
+    rb = _renorm(bs)
+
+    def chain8(panel_fn):
+        def f(x):
+            y = x
+            for _ in range(n // bs):
+                y = panel_fn(y)
+            return rb(y)
+
+        return f
+
+    t = timed_loop(chain8(P.ldl_panels_batched), x0)
+    print(f"{n//bs}x column panel chain: {t*1e3:.3f} ms")
+    t = timed_loop(chain8(functools.partial(P.ldl_panels_slab, slab=8)), x0)
+    print(f"{n//bs}x slab panel chain: {t*1e3:.3f} ms")
+
+
+def cmd_mxu(args):
+    A = make_spd(args.B, args.n)
+    renorm = _renorm(args.n)
+    flops = 2.0 * args.B * args.n**3
+    for prec in ("default", "high", "highest"):
+        def mm(x, p=prec):
+            y = jnp.einsum(
+                "nij,njk->nik", x, x, precision=p,
+                preferred_element_type=jnp.float32,
+            )
+            return renorm(y)
+
+        t = timed_loop(mm, A)
+        print(f"bmm_{args.n} {prec}: {t*1e3:.3f} ms = {flops/t/1e12:.1f} TF/s")
+
+
+def cmd_solve(args):
+    """Back-solve pieces at the bench production shape."""
+    from parapint_tpu.ops import ldl as L
+    from parapint_tpu.ops.ldl import ldl_factor_winv_batched
+
+    N, n = args.B, args.n
+    A = make_spd(N, n)
+    LD, d, W = jax.jit(functools.partial(ldl_factor_winv_batched, block_size=128))(A)
+    s = jnp.ones((N, n), dtype=jnp.float32)
+    b = jnp.ones((N, n), dtype=jnp.float32)
+    from parapint_tpu.linalg.schur import _winv_apply_batched
+
+    def apply_f32(bb):
+        x = _winv_apply_batched(W, d, s, bb)
+        return x / jnp.maximum(jnp.max(jnp.abs(x)), 1.0) + 1.0
+
+    t = timed_loop(apply_f32, b)
+    gb = 2 * N * n * n * 4 / 1e9
+    print(f"winv apply f32 (2 GEMV reads, {gb:.2f} GB): {t*1e3:.3f} ms "
+          f"= {gb/t:.0f} GB/s effective")
+
+    Wb = W.astype(jnp.bfloat16)
+
+    def apply_bf16(bb):
+        x = _winv_apply_batched(Wb, d.astype(jnp.bfloat16), s.astype(jnp.bfloat16), bb.astype(jnp.bfloat16))
+        x = x.astype(jnp.float32)
+        return x / jnp.maximum(jnp.max(jnp.abs(x)), 1.0) + 1.0
+
+    t = timed_loop(apply_bf16, b)
+    print(f"winv apply bf16 storage ({gb/2:.2f} GB): {t*1e3:.3f} ms")
+
+    # mixed: bf16 W with f32 math (XLA converts on load)
+    def apply_mixed(bb):
+        d_safe = jnp.where(jnp.abs(d) > 0, d, 1.0)
+        y = jnp.einsum("bij,bj->bi", Wb.astype(jnp.float32), bb,
+                       preferred_element_type=jnp.float32)
+        x = jnp.einsum("bji,bj->bi", Wb.astype(jnp.float32), y / d_safe,
+                       preferred_element_type=jnp.float32)
+        return x / jnp.maximum(jnp.max(jnp.abs(x)), 1.0) + 1.0
+
+    t = timed_loop(apply_mixed, b)
+    print(f"winv apply bf16->f32 convert-on-load: {t*1e3:.3f} ms")
+
+
+def cmd_dispatch(args):
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.ones(8, dtype=jnp.float32)
+    t = timed_once(f, x, reps=5)
+    print(f"per-dispatch floor: {t*1e3:.2f} ms")
 
 
 def main():
-    import builtins
-    import functools as ft
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
 
-    builtins.print = ft.partial(print, flush=True)
-    rng = np.random.default_rng(0)
-    b = 128
-    B = 64
-    M = rng.standard_normal((B, b, b)).astype(np.float32)
-    A = jnp.asarray(M @ np.swapaxes(M, 1, 2) + 0.1 * np.eye(b, dtype=np.float32))
+    pp = sub.add_parser("panels")
+    pp.add_argument("--B", type=int, default=64)
+    pp.add_argument("--b", type=int, default=128)
+    pp.add_argument("--slab", type=int, default=8)
+    pp.add_argument("--chunks", type=int, nargs="+", default=[4, 8, 16, 32, 64])
+    pp.add_argument(
+        "--algos", nargs="+",
+        default=["column", "slab", "slab_winv"],
+        choices=["column", "column_winv", "slab", "slab_winv"],
+    )
+    pp.set_defaults(fn=cmd_panels)
 
-    from parapint_tpu.ops import pallas_ldl
-    from parapint_tpu.ops import ldl
+    pf = sub.add_parser("factor")
+    pf.add_argument("--B", type=int, default=64)
+    pf.add_argument("--n", type=int, default=1024)
+    pf.set_defaults(fn=cmd_factor)
 
-    # reference result via XLA fallback
-    F_ref = jax.vmap(ldl._ldl_unblocked)(A)
-    L_ref = jnp.tril(F_ref, -1) + jnp.eye(b)[None]
-    W_ref = ldl._unit_lower_inv_b(L_ref)
+    pm = sub.add_parser("mxu")
+    pm.add_argument("--B", type=int, default=64)
+    pm.add_argument("--n", type=int, default=1024)
+    pm.set_defaults(fn=cmd_mxu)
 
-    def check(F, W):
-        e1 = float(jnp.max(jnp.abs(jnp.tril(F) - jnp.tril(F_ref))))
-        e2 = float(jnp.max(jnp.abs(W - W_ref)))
-        return e1, e2
+    ps = sub.add_parser("solve")
+    ps.add_argument("--B", type=int, default=64)
+    ps.add_argument("--n", type=int, default=1024)
+    ps.set_defaults(fn=cmd_solve)
 
-    def bench(fn, *args):
-        out = jax.block_until_ready(fn(*args))
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best, out
+    pd = sub.add_parser("dispatch")
+    pd.set_defaults(fn=cmd_dispatch)
 
-    # 1) current SSA winv kernel at shrinking chunks
-    for chunk in (16, 8, 4, 2):
-        try:
-            f = functools.partial(pallas_ldl.ldl_panels_batched_winv, chunk=chunk)
-            t, (F, W) = bench(jax.jit(f), A)
-            e1, e2 = check(F, W)
-            print(f"ssa_winv chunk={chunk}: {t*1e3:.3f} ms err=({e1:.2e},{e2:.2e})")
-        except Exception as ex:
-            print(f"ssa_winv chunk={chunk}: FAIL {str(ex)[:160]}")
-
-    # 2) in-place ref variant
-    for chunk in (32, 16, 8, 4):
-        try:
-            f = functools.partial(run_winv_inplace, chunk=chunk)
-            t, (F, W) = bench(jax.jit(f), A)
-            e1, e2 = check(F, W)
-            print(f"inplace_winv chunk={chunk}: {t*1e3:.3f} ms err=({e1:.2e},{e2:.2e})")
-        except Exception as ex:
-            print(f"inplace_winv chunk={chunk}: FAIL {str(ex)[:160]}")
-
-    # 3) factor-only kernel (current)
-    for chunk in (32, 16, 8):
-        try:
-            f = functools.partial(pallas_ldl.ldl_panels_batched, chunk=chunk)
-            t, F = bench(jax.jit(f), A)
-            e1 = float(jnp.max(jnp.abs(jnp.tril(F) - jnp.tril(F_ref))))
-            print(f"ssa_factor chunk={chunk}: {t*1e3:.3f} ms err={e1:.2e}")
-        except Exception as ex:
-            print(f"ssa_factor chunk={chunk}: FAIL {str(ex)[:160]}")
-
-    # 4) factor-only + XLA winv-from-leaves for comparison (full pipeline cost)
-    def factored_winv(A):
-        LD, d, W = ldl.ldl_factor_winv_batched(A, block_size=128)
-        return LD, W
-
-    try:
-        t, (F, W) = bench(jax.jit(factored_winv), A)
-        e1, e2 = check(F, W)
-        print(f"ldl_factor_winv_batched bs=128: {t*1e3:.3f} ms err=({e1:.2e},{e2:.2e})")
-    except Exception as ex:
-        print(f"ldl_factor_winv_batched: FAIL {str(ex)[:200]}")
+    args = p.parse_args()
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    args.fn(args)
 
 
 if __name__ == "__main__":
