@@ -65,6 +65,89 @@ def test_burgers_small():
         assert np.allclose(end_states, start_next, atol=1e-10)
 
 
+def test_burgers_objective_oracle_vs_monolithic():
+    """The flagship (benchmarked) Burgers problem checked against an
+    in-repo oracle: a MONOLITHIC full-space f64 solve of the same small
+    instance through InteriorPointInterface + DenseLDLSolver must match the
+    dynamic-SC fused solve to 1e-8 in objective and coupling (block-boundary
+    state) values.  The reference validates its SC interfaces the same way
+    against full-space + Ipopt (test_sc_ip_interface.py:490-568)."""
+    import jax
+    import jax.numpy as jnp
+    from parapint_tpu.examples import burgers
+    from parapint_tpu.models.model import NLPModel
+
+    nfe_x, nfe_t, N = 10, 12, 4
+    spec = burgers.build_spec(nfe_x=nfe_x, nfe_t=nfe_t, num_time_blocks=N)
+
+    # -- dynamic-SC fused solve (the production path, production options) --
+    iface = pt.DynamicSchurComplementInteriorPointInterface(
+        spec, kkt_dtype=jnp.float32
+    )
+    opts = pt.IPOptions()
+    opts.tol = 1e-8
+    opts.linalg.solver = pt.SchurComplementSolver(
+        block_size=128, explicit_inverse=True, factor_dtype=jnp.float32,
+        schur_complement_solver=pt.BlockTridiagSolver(),
+    )
+    solve = pt.make_fused_ip_solve(iface, opts)
+    iface.set_bounds_relaxation_factor(opts.bounds_relaxation_factor)
+    res = solve(iface.init_state())
+    assert int(res.status) == pt.InteriorPointStatus.optimal.value
+    iface._current_state = res.state
+    obj_sc = float(iface.evaluate_objective())
+    coupling_sc = np.asarray(res.state.primals["coupling"])
+
+    # -- monolithic full-space f64 oracle ---------------------------------
+    # variables = all block vectors concatenated; continuity imposed
+    # directly (end states of block i == start states of block i+1), which
+    # eliminates the coupling variables instead of introducing them
+    n = spec.x0.shape[1]
+    params = jax.tree_util.tree_map(jnp.asarray, spec.params)
+    eq_keep = [np.flatnonzero(np.asarray(spec.eq_mask)[i]) for i in range(N)]
+    start_idx = jnp.asarray(np.asarray(spec.start_state_idx))
+    end_idx = jnp.asarray(np.asarray(spec.end_state_idx))
+
+    def mono_obj(x):
+        xb = x.reshape(N, n)
+        per = jax.vmap(spec.objective)(xb, params)
+        return jnp.sum(per)
+
+    def mono_eq(x):
+        xb = x.reshape(N, n)
+        own = jax.vmap(spec.eq_constraints)(xb, params)
+        rows = [own[i][jnp.asarray(eq_keep[i])] for i in range(N)]
+        links = [
+            xb[i][end_idx] - xb[i + 1][start_idx] for i in range(N - 1)
+        ]
+        return jnp.concatenate(rows + links)
+
+    model = NLPModel(
+        objective=mono_obj,
+        x0=np.asarray(spec.x0).reshape(-1),
+        eq_constraints=mono_eq,
+    )
+    mono_iface = pt.InteriorPointInterface(model)
+    mono_opts = pt.IPOptions()
+    mono_opts.tol = 1e-8
+    mono_opts.linalg.solver = pt.DenseLDLSolver(block_size=128)
+    status = pt.ip_solve(mono_iface, mono_opts)
+    assert status == pt.InteriorPointStatus.optimal
+    x_opt = np.asarray(mono_iface.get_primals()).reshape(N, n)
+    obj_mono = float(mono_obj(jnp.asarray(x_opt).reshape(-1)))
+
+    # objective parity to 1e-8 (BASELINE.md: "obj parity vs MA27-backed
+    # reference" — the monolithic f64 solve plays the oracle role here)
+    assert abs(obj_sc - obj_mono) <= 1e-8 * max(1.0, abs(obj_mono)), (
+        obj_sc, obj_mono,
+    )
+    # coupling values = the oracle's block-boundary states
+    coupling_mono = np.concatenate(
+        [x_opt[i][np.asarray(spec.end_state_idx)] for i in range(N - 1)]
+    )
+    np.testing.assert_allclose(coupling_sc, coupling_mono, atol=1e-7)
+
+
 @pytest.mark.slow
 def test_perf_harness_methods_agree():
     """fs / ssc / psc must produce the same planted-theta recovery error
