@@ -55,6 +55,62 @@ def stochastic_32():
     return pt.StochasticSchurComplementInteriorPointInterface(spec)
 
 
+def stochastic_qp(n_scenarios=32, n=768, me=192, n_first=64):
+    """Synthetic two-stage stochastic QP with ~1k variables per scenario.
+
+    The farmer family's blocks are ~3 variables: timing it measures
+    dispatch overhead, not factorization throughput (BASELINE.md:34 asks
+    for "batched block factorizations").  This family's per-scenario KKT
+    block is nk = n + me + n_first = 1024 — the production panel shape —
+    so the 32-scenario config stresses the batched LDL^T exactly like the
+    dynamic family does.
+
+      min  sum_s p_s [ 0.5 x_s^T diag(q_s) x_s + c_s^T x_s ]
+      s.t. A x_s = b_s,  x_s >= 0,  x_s[:n_first] == theta (nonanticipativity)
+
+    with shared Gaussian A and per-scenario (q_s, c_s, b_s); b_s = A x*_s
+    for a strictly positive x*_s, so a strict interior exists; c_s makes a
+    meaningful fraction of the bounds active at the optimum.
+    """
+    import jax.numpy as jnp
+    import parapint_tpu as pt
+    from parapint_tpu.interfaces.stochastic import StochasticModelSpec
+
+    rng = np.random.default_rng(7)
+    N = n_scenarios
+    A = rng.standard_normal((me, n)) / np.sqrt(n)
+    Aj = jnp.asarray(A)
+    q = rng.uniform(0.5, 2.0, size=(N, n))
+    c = rng.standard_normal((N, n))
+    x_tgt = np.abs(rng.standard_normal((N, n))) + 0.1
+    b = x_tgt @ A.T
+    probs = np.full(N, 1.0 / N)
+
+    def objective(x, p):
+        return p["prob"] * (0.5 * jnp.sum(p["q"] * x * x) + jnp.dot(p["c"], x))
+
+    def eq_constraints(x, p):
+        return Aj @ x - p["b"]
+
+    spec = StochasticModelSpec(
+        num_scenarios=N,
+        objective=objective,
+        eq_constraints=eq_constraints,
+        params={
+            "q": jnp.asarray(q),
+            "c": jnp.asarray(c),
+            "b": jnp.asarray(b),
+            "prob": jnp.asarray(probs),
+        },
+        x0=np.full((N, n), 1.0),
+        first_stage_idx=np.arange(n_first),
+        xl=np.zeros((N, n)),
+    )
+    return pt.StochasticSchurComplementInteriorPointInterface(
+        spec, kkt_dtype=jnp.float32
+    )
+
+
 def main():
     import jax.numpy as jnp
     import parapint_tpu as pt
@@ -90,6 +146,25 @@ def main():
             lambda: (
                 stochastic_32(),
                 pt.SchurComplementSolver(block_size=64, explicit_inverse=True),
+            ),
+        )
+    )
+    configs.append(
+        (
+            # BASELINE.md:34 "batched block factorizations": the farmer
+            # family's ~3-variable blocks measure dispatch overhead; this
+            # synthetic two-stage QP has nk=1024 per scenario (see
+            # stochastic_qp), so the config stresses the batched LDL^T
+            "stochastic_qp_32scenarios_1k",
+            lambda: (
+                stochastic_qp(),
+                # adaptive refinement (not refine_steps=0): the QP's active
+                # bounds give real barrier ill-conditioning, unlike the
+                # refine-0-validated Burgers family
+                pt.SchurComplementSolver(
+                    block_size=128, explicit_inverse=True,
+                    factor_dtype=jnp.float32,
+                ),
             ),
         )
     )

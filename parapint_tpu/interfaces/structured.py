@@ -280,7 +280,15 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            shard = NamedSharding(self.mesh, P(self.axis_name))
+            n_shards = self.mesh.shape[self.axis_name]
+            # non-divisible block counts: the iterate stays replicated (the
+            # sharded SOLVER still pads/shards its own block axis via
+            # pad_block_count, so the factorization work parallelizes; only
+            # the O(N*nk) iterate vectors replicate)
+            divisible = self.N % n_shards == 0
+            shard = NamedSharding(
+                self.mesh, P(self.axis_name) if divisible else P()
+            )
             repl = NamedSharding(self.mesh, P())
 
             def place(a):
