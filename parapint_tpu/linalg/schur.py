@@ -294,18 +294,32 @@ def _factor_blocks_winv(
 
 
 def _winv_apply_batched(W, d, s, b):
-    """K_i^{-1} b_i for a batch: b (N, nk) -> (N, nk), in W's dtype."""
+    """K_i^{-1} b_i for a batch: b (N, nk) -> (N, nk).
+
+    On a real TPU backend this dispatches to the fused Pallas kernel
+    (ops/winv_apply.py): W is read from HBM exactly once per apply — the
+    XLA two-GEMV form reads it at least twice and can materialize W^T.
+    The XLA fallback upcasts a bf16-stored W to f32 at compute (the
+    convert fuses into the dot; HBM traffic stays bf16-sized).
+    """
+    from parapint_tpu.ops import winv_apply as _wk
+
+    if W.dtype in (jnp.float32, jnp.bfloat16) and _wk.available():
+        # the kernel applies BOTH s-scalings internally; f64 W (Mosaic
+        # cannot lower f64 vectors) stays on the XLA path
+        return _wk.winv_apply_fused(W, d, s, b)
+    cdt = jnp.float32 if W.dtype == jnp.bfloat16 else W.dtype
+    Wc = W.astype(cdt)
     nk = b.shape[-1]
     npad = W.shape[-1]
-    bf = b.astype(W.dtype) * s
+    sf = s.astype(cdt)
+    bf = b.astype(cdt) * sf
     if npad != nk:
         bf = jnp.pad(bf, ((0, 0), (0, npad - nk)))
-    d_safe = jnp.where(jnp.abs(d) > 0, d, 1.0)
-    y = jnp.einsum("bij,bj->bi", W, bf, preferred_element_type=W.dtype)
-    x = jnp.einsum(
-        "bji,bj->bi", W, y / d_safe, preferred_element_type=W.dtype
-    )
-    return x[:, :nk] * s
+    d_safe = jnp.where(jnp.abs(d) > 0, d, 1.0).astype(cdt)
+    y = jnp.einsum("bij,bj->bi", Wc, bf, preferred_element_type=cdt)
+    x = jnp.einsum("bji,bj->bi", Wc, y / d_safe, preferred_element_type=cdt)
+    return x[:, :nk] * sf
 
 
 def _sc_contribution(LD: jax.Array, border: jax.Array, mask: jax.Array):
@@ -670,6 +684,7 @@ class SchurComplementSolver(LinearSolver):
         apply_dtype=None,
         refine_trigger: float = 1e-5,
         refine_max_passes: int = 8,
+        w_store_dtype=None,
     ):
         self.sc_solver = (
             schur_complement_solver
@@ -687,6 +702,18 @@ class SchurComplementSolver(LinearSolver):
         self.zero_tol = zero_tol
         self.explicit_inverse = explicit_inverse
         self.factor_dtype = factor_dtype
+        # w_store_dtype (e.g. jnp.bfloat16): dtype W is STORED in for the
+        # back-solve applies — the SC is still formed from the full
+        # factor-dtype W, and pivots/scales stay in factor dtype.  Halves
+        # the HBM-bound W reads of every solve; the O(2^-8) apply rounding
+        # is absorbed by iterative refinement (do not combine with
+        # refine_steps=0 unless validated for the problem).  OPT-IN and
+        # problem-dependent: on kappa(K)-hard blocks the bf16 apply error
+        # can exceed the refinement contraction threshold and the solve
+        # reports status=error (observed on the dynamics example family;
+        # the Burgers benchmark family converges with objective parity at
+        # +1 IP iteration).
+        self.w_store_dtype = w_store_dtype
         # hybrid precision: factor pivots in factor_dtype (e.g. f64 when the
         # blocks' elimination is cancellation-heavy), every apply in
         # apply_dtype (f32); see _factor_blocks_winv
@@ -769,6 +796,8 @@ class SchurComplementSolver(LinearSolver):
                 else:
                     contrib = _sc_contribution_winv(W, d, s, kkt.border, kkt.mask)
                     sc = kkt.q.astype(W.dtype) - contrib
+            if self.w_store_dtype is not None:
+                W = W.astype(self.w_store_dtype)
         else:
             W = d = s = None
             border_f = kkt.border_loc if local else kkt.border

@@ -93,9 +93,12 @@ class ShardedSchurComplementSolver(LinearSolver):
         apply_dtype=None,
         refine_trigger: float = 1e-5,
         refine_max_passes: int = 8,
+        w_store_dtype=None,
     ):
         self.mesh = mesh
         self.axis_name = axis_name
+        # see SchurComplementSolver.w_store_dtype
+        self.w_store_dtype = w_store_dtype
         self.sc_solver = (
             schur_complement_solver
             if schur_complement_solver is not None
@@ -179,6 +182,10 @@ class ShardedSchurComplementSolver(LinearSolver):
                 else:
                     contrib = _sc_contribution_winv(W, d, s, border, mask)
                 q = q.astype(W.dtype)
+                if self.w_store_dtype is not None:
+                    # store W compactly for the solves; SC contributions
+                    # above already used the full factor-dtype W
+                    fac = (W.astype(self.w_store_dtype), d, s)
             else:
                 fac, blk_inertia, blk_status = _factor_blocks(
                     diag, mask, self.block_size, self.zero_tol

@@ -442,6 +442,19 @@ def _unit_lower_inv_b(L: jax.Array) -> jax.Array:
     return S
 
 
+def _use_slab_kernel(b: int) -> bool:
+    """Panel-kernel algorithm selection (overridable via PT_PANEL_ALGO).
+
+    "slab" = the round-4 two-level kernel (slab-local serial steps + rank-8
+    MXU trailing updates; see pallas_ldl._make_slab_kernel), requires
+    b % 8 == 0; "column" = the round-2/3 per-column SSA kernel.
+    """
+    import os
+
+    algo = os.environ.get("PT_PANEL_ALGO", "column")
+    return algo == "slab" and b % 8 == 0
+
+
 def _panel_factor_batch(Akk: jax.Array) -> jax.Array:
     """Batched base-case panel factorization (N, b, b) -> packed.
 
@@ -456,6 +469,8 @@ def _panel_factor_batch(Akk: jax.Array) -> jax.Array:
         and Akk.shape[-1] <= 128
         and pallas_ldl.available()
     ):
+        if _use_slab_kernel(Akk.shape[-1]):
+            return pallas_ldl.ldl_panels_slab(Akk)
         return pallas_ldl.ldl_panels_batched(Akk)
     return jax.vmap(_ldl_unblocked)(Akk)
 
@@ -517,10 +532,14 @@ def _panel_factor_batch_winv(Akk: jax.Array):
     if (
         Akk.dtype == jnp.float32
         and Akk.shape[-1] <= 128
-        and pallas_ldl.winv_max_chunk(Akk.shape[-1]) >= 1
         and pallas_ldl.available()
     ):
-        return pallas_ldl.ldl_panels_batched_winv(Akk)
+        if _use_slab_kernel(Akk.shape[-1]):
+            # the slab kernel has no per-column live-value stack: no
+            # winv_max_chunk ceiling
+            return pallas_ldl.ldl_panels_slab_winv(Akk)
+        if pallas_ldl.winv_max_chunk(Akk.shape[-1]) >= 1:
+            return pallas_ldl.ldl_panels_batched_winv(Akk)
     F = jax.vmap(_ldl_unblocked)(Akk)
     Lkk = jnp.tril(F, -1) + jnp.eye(Akk.shape[-1], dtype=Akk.dtype)
     return F, _unit_lower_inv_b(Lkk)

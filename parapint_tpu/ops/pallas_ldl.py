@@ -165,16 +165,15 @@ def _make_slab_kernel(b: int, r: int, with_w: bool):
         lane_b = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
         subl_r = lax.broadcasted_iota(jnp.int32, (1, r, 1), 1)
         lane_r = lax.broadcasted_iota(jnp.int32, (1, 1, r), 2)
+        subl_b = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
         eye_r = jnp.where(
             subl_r == lane_r, jnp.ones((), dt), jnp.zeros((), dt)
         )  # (1, r, r)
         out_ref[...] = a_ref[...]
         if with_w:
             (w_ref,) = w_refs
-            row_b = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
-            col_b = lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
             eye_b = jnp.where(
-                row_b == col_b, jnp.ones((), dt), jnp.zeros((), dt)
+                subl_b == lane_b, jnp.ones((), dt), jnp.zeros((), dt)
             )
             w_ref[...] = jnp.broadcast_to(eye_b, w_ref.shape)
         for k in range(nslab):
@@ -187,7 +186,6 @@ def _make_slab_kernel(b: int, r: int, with_w: bool):
             L11inv = None
             if with_w:
                 L11inv = jnp.broadcast_to(eye_r, (S.shape[0], r, r))
-            Xraw = jnp.zeros_like(S)  # raw (pre-division) masked columns
             for jj in range(r):
                 j = j0 + jj
                 colj = S[:, jj : jj + 1, :]  # (C, 1, b) true column j
@@ -195,35 +193,39 @@ def _make_slab_kernel(b: int, r: int, with_w: bool):
                 piv_safe = jnp.where(jnp.abs(piv) > 0, piv, jnp.ones_like(piv))
                 below = lane_b > jnp.int32(j)  # (1, 1, b)
                 l = jnp.where(below, colj / piv_safe, jnp.zeros_like(colj))
-                # raw column values (the rank-1's "colmask"), kept for the
-                # exact trailing update and for packing
-                colmask = jnp.where(below, colj, jnp.zeros_like(colj))
-                Xraw = jnp.where(subl_r == jnp.int32(jj), colmask, Xraw)
-                packed = jnp.where(below, l, colj)
-                S = jnp.where(subl_r == jnp.int32(jj), packed, S)
-                # in-slab rank-1 on rows kk > jj of S (columns j0+kk of A):
-                # S[kk, i] -= x[kk] * l[i], x[kk] = A[j0+kk, j] from Q
+                # in-slab rank-1 on rows kk > jj (columns j0+kk of A) fused
+                # with packing row jj: S[kk, i] -= x[kk] l[i], x from Q
                 xsub = jnp.where(
                     subl_r > jnp.int32(jj), Q[:, :, jj : jj + 1], 0.0
                 )  # (C, r, 1)
-                S = S - xsub * l
-                # Q mirrors the slab-lane part of that update with bitwise
-                # identical products: Q[kk, m] -= x[kk] * l_slab[m]
-                l_slab = l[:, :, j0:e]  # (C, 1, r)
-                Q = Q - xsub * l_slab
+                packed = jnp.where(below, l, colj)
+                S = jnp.where(subl_r == jnp.int32(jj), packed, S - xsub * l)
+                # Q mirrors the slab-lane part with bitwise identical
+                # products: Q[kk, m] -= x[kk] * l_slab[m]
+                Q = Q - xsub * l[:, :, j0:e]
                 if with_w:
                     lq = xsub / piv_safe  # (C, r, 1) = l restricted to slab
                     L11inv = L11inv - lq * L11inv[:, jj : jj + 1, :]
             out_ref[:, j0:e, :] = S
+            # masked L in both orientations.  ONE explicit (C,r,b)->(C,b,r)
+            # transpose per slab buys NATIVE MXU dot layouts below
+            # (contract LHS lanes with RHS sublanes); sublane-contracting
+            # dot_generals would relayout both operands per dot.
             Lmask = lane_b > (jnp.int32(j0) + subl_r)  # (1, r, b)
-            Ls = jnp.where(Lmask, S, jnp.zeros_like(S))
+            Ls = jnp.where(Lmask, S, jnp.zeros_like(S))  # L[i, jj] at [jj, i]
+            Ln = jnp.swapaxes(Ls, 1, 2)  # (C, b, r): L[i, jj] at [i, jj]
+            # pivots as a lane vector (C, 1, r): d_jj = S[jj, j0+jj]
+            ds = jnp.sum(
+                S[:, :, j0:e] * eye_r, axis=1, keepdims=True
+            )  # (C, 1, r)
             if e < b:
-                # trailing update, one rank-r MXU contraction:
-                # At[k, i] -= sum_jj Xraw[jj, k] * Ls[jj, i]  for k >= e
+                # trailing update, one rank-r native-layout MXU dot:
+                # At[k, i] -= sum_jj (d_jj l_k) * l_i, k >= e
+                Xn = Ln[:, e:, :] * ds  # (C, b-e, r)
                 upd = lax.dot_general(
-                    Xraw[:, :, e:],
+                    Xn,
                     Ls,
-                    ((( 1,), (1,)), ((0,), (0,))),
+                    (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=dt,
                 )  # (C, b - e, b)
                 out_ref[:, e:, :] = out_ref[:, e:, :] - upd
@@ -237,11 +239,11 @@ def _make_slab_kernel(b: int, r: int, with_w: bool):
                 )
                 w_ref[:, j0:e, :] = Ws
                 if e < b:
-                    # W_after -= L21 @ Ws ; L21[i, jj] = Ls[jj, i], i >= e
+                    # W_after -= L21 @ Ws, L21 = Ln rows >= e (native layout)
                     wupd = lax.dot_general(
-                        Ls[:, :, e:],
+                        Ln[:, e:, :],
                         Ws,
-                        (((1,), (1,)), ((0,), (0,))),
+                        (((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=dt,
                     )  # (C, b - e, b)
                     w_ref[:, e:, :] = w_ref[:, e:, :] - wupd

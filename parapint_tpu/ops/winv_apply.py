@@ -1,0 +1,101 @@
+"""Fused Pallas kernel for the W-form block back solve.
+
+The production back solve applies K_i^{-1} = s W^T D^{-1} W s per block
+(W = L^{-1} from the fused factorization).  In XLA this is two batched
+GEMVs (``bij,bj->bi`` then ``bji,bj->bi``): W is read from HBM twice per
+apply, and the transposed contraction can materialize W^T (another full
+read+write).  Round-3 profile: the two applies per solve were ~8 ms of the
+~36 ms Burgers iteration — HBM-bound on the (64, 1024, 1024) f32 W
+(/root/repo/docs/benchmarks.md).
+
+This kernel loads each block's W into VMEM ONCE and performs both matvecs
+from there: HBM traffic per apply drops from >=2x to exactly 1x |W|.  With
+``W`` stored in bf16 (the solver's ``w_store_dtype`` option) traffic halves
+again; the matvec accumulates in f32 (convert-on-load in VMEM), and the
+solver's f64 iterative refinement absorbs the O(2^-8) storage rounding.
+
+Reference role: the two per-block triangular-solve passes of the back
+solve, explicit_schur_complement.py:131-155.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+def available() -> bool:
+    if not _HAS_PLTPU:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _apply_kernel(w_ref, d_ref, s_ref, b_ref, out_ref):
+    # one block per grid step; W stays in VMEM for BOTH matvecs.  Vector
+    # operands arrive as (1, 1, n) blocks (Pallas TPU requires the last two
+    # block dims divisible by (8, 128) or equal to the array dims).
+    W = w_ref[0].astype(jnp.float32)  # (n, n); convert-on-load if bf16
+    d = d_ref[0].astype(jnp.float32)  # (1, n)
+    s = s_ref[0].astype(jnp.float32)  # (1, n)
+    v = b_ref[0].astype(jnp.float32) * s  # (1, n)
+    # y_i = sum_j W[i, j] v[j]  (contract W's columns)
+    y = lax.dot_general(
+        v, W, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (1, n)
+    d_safe = jnp.where(jnp.abs(d) > 0, d, jnp.ones_like(d))
+    z = y / d_safe
+    # x_j = sum_i W[i, j] z[i]  (contract W's rows — no transpose copy)
+    x = lax.dot_general(
+        z, W, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (1, n)
+    out_ref[0] = x * s
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def winv_apply_fused(W, d, s, b, interpret: bool = False):
+    """Batched K_i^{-1} b_i with one HBM pass over W per block.
+
+    W: (B, n, n) f32 or bf16 (L^{-1} of the Ruiz-scaled blocks)
+    d: (B, n) pivots;  s: (B, nk) Ruiz scales;  b: (B, nk) right-hand sides
+    (nk <= n; zero-padded internally).  Returns (B, nk) f32.
+    """
+    B, n, n2 = W.shape
+    assert n == n2
+    nk = b.shape[-1]
+    bf = b.astype(jnp.float32)
+    sf = s.astype(jnp.float32)
+    if nk != n:
+        bf = jnp.pad(bf, ((0, 0), (0, n - nk)))
+        sf = jnp.pad(sf, ((0, 0), (0, n - nk)), constant_values=1.0)
+    # vectors as (B, 1, n): TPU block shapes need the last two dims
+    # divisible by (8, 128) or equal to the array dims
+    vec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _apply_kernel,
+            out_shape=jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                vec,
+                vec,
+                vec,
+            ],
+            out_specs=vec,
+            interpret=interpret,
+        )(W, d.astype(jnp.float32)[:, None, :], sf[:, None, :], bf[:, None, :])
+    return out[:, 0, :nk]

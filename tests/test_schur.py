@@ -242,6 +242,37 @@ def test_hybrid_precision_factor():
     assert np.allclose(xc, x_true[48:], atol=1e-7)
 
 
+def test_w_store_dtype_bf16_refines_to_f64():
+    """w_store_dtype=bf16 halves the HBM-bound W reads of every solve; the
+    O(2^-8) storage rounding must be absorbed by the adaptive refinement:
+    solution accuracy unchanged, W stored in bf16, SC still formed from the
+    full-precision W (inertia exact)."""
+    diag, border, q = make_system(4, 24, 5, seed=13)
+    M = dense_assemble(diag, border, q)
+    rng = np.random.default_rng(5)
+    x_true = rng.standard_normal(M.shape[0])
+    rhs = M @ x_true
+    # bf16 applies contract the error ~1e-3/pass.  The ADAPTIVE probe is
+    # f32 and by design cannot certify below ~32*eps_f32*|K||x| (~1e-6
+    # here); FIXED refine_steps forces passes past the probe floor, and 3
+    # passes reach f64-level step accuracy (1e-3^3 contraction).
+    solver = SchurComplementSolver(
+        block_size=8, explicit_inverse=True, factor_dtype=jnp.float32,
+        w_store_dtype=jnp.bfloat16, refine_steps=3,
+    )
+    fact, xb, xc = run_solver(
+        solver, diag, border, q, rhs[: 4 * 24].reshape(4, 24), rhs[4 * 24 :]
+    )
+    assert fact.block_W.dtype == jnp.bfloat16
+    pos, neg, zero = solver.inertia(fact)
+    w = np.linalg.eigvalsh(M)
+    assert (int(pos), int(neg), int(zero)) == ((w > 0).sum(), (w < 0).sum(), 0)
+    err = np.max(
+        np.abs(np.concatenate([xb.reshape(-1), xc]) - x_true)
+    ) / np.max(np.abs(x_true))
+    assert err < 1e-8, err
+
+
 def test_singular_block_reports_singular():
     """An exactly singular diagonal block (zero pivot from a zero Hessian
     row) must surface as a singular factorization so the interior-point

@@ -20,12 +20,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _force(out):
+    """Value-dependent readback over every leaf: block_until_ready can
+    complete at enqueue time on relayed backends (axon tunnel)."""
+    tot = 0.0
+    for leaf in jax.tree_util.tree_leaves(out):
+        a = jnp.asarray(leaf)
+        if a.size and jnp.issubdtype(a.dtype, jnp.floating):
+            tot += float(jnp.sum(jnp.abs(a.astype(jnp.float32))))
+    return out
+
+
 def timed(f, *a, reps=6):
-    out = jax.block_until_ready(f(*a))
+    out = _force(f(*a))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*a))
+        _force(f(*a))
         best = min(best, time.perf_counter() - t0)
     return out, best
 

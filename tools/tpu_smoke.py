@@ -118,11 +118,50 @@ def smoke_bench_config():
     )
 
 
+def smoke_sharded_mesh1():
+    """Production config through the SHARDED path on a mesh of 1 chip.
+
+    The sharded graph (shard_map + psum + tile-form SC + group_offset chain
+    placement) is otherwise only exercised on the virtual CPU mesh; a
+    1-device mesh proves the same program compiles and runs for the real
+    TPU backend (collectives degenerate but the lowering is exercised)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    import bench
+    import parapint_tpu as pt
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("blocks",))
+    interface = bench.build_problem(nfe_x=50, nfe_t=32, n_blocks=8)
+    options = pt.IPOptions()
+    options.tol = bench.TOL
+    options.linalg.solver = pt.ShardedSchurComplementSolver(
+        mesh, "blocks", block_size=128, explicit_inverse=True,
+        factor_dtype=jnp.float32, refine_steps=0,
+        schur_complement_solver=pt.BlockTridiagSolver(),
+    )
+    solve = pt.make_fused_ip_solve(interface, options)
+    interface.set_bounds_relaxation_factor(options.bounds_relaxation_factor)
+    t0 = time.time()
+    result = solve(interface.init_state())
+    status = int(result.status)
+    n_iter = int(result.iterations)
+    assert status == pt.InteriorPointStatus.optimal.value, (
+        status, n_iter, float(result.primal_inf), float(result.dual_inf),
+    )
+    log(
+        f"SHARDED production config (shard_map mesh=1, b=128 winv, tile-form "
+        f"CR SC) solved 8-block Burgers: optimal in {n_iter} iters "
+        f"({time.time()-t0:.1f}s incl compile)"
+    )
+
+
 def main():
     check_backend()
     smoke_pallas_kernels()
     smoke_graft_entry()
     smoke_bench_config()
+    smoke_sharded_mesh1()
     log("ALL PRODUCTION CONFIGS CHIP-VALID")
 
 
