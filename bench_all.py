@@ -236,12 +236,16 @@ def main():
     try:
         from parapint_tpu.examples.performance import schur_complement as perf
 
+        # warm=True: numeric+solve re-timed after the first call, so the
+        # one-time XLA compile is excluded — the quantity comparable to the
+        # reference's per-call MA27 numeric/back-solve times at this scale
         r = perf.run(
             method="csc",
             n_blocks=3,
             n_q_per_block=5000,
             n_y_multiplier=120,
             verbose=False,
+            warm=True,
         )
         print(
             json.dumps(
@@ -250,9 +254,8 @@ def main():
                     "theta_max_err": round(r.max_err, 6),
                     "theta_recovered": bool(r.max_err < 1.0),
                     "symbolic_s": round(r.symbolic_time, 4),
-                    "numeric_s": round(r.numeric_time, 4),
-                    "back_solve_s": round(r.back_solve_time, 4),
-                    "total_s": round(r.total_time, 4),
+                    "warm_numeric_s": round(r.numeric_time, 4),
+                    "warm_back_solve_s": round(r.back_solve_time, 4),
                     "status": r.status,
                 }
             ),

@@ -448,10 +448,14 @@ def _use_slab_kernel(b: int) -> bool:
     "slab" = the round-4 two-level kernel (slab-local serial steps + rank-8
     MXU trailing updates; see pallas_ldl._make_slab_kernel), requires
     b % 8 == 0; "column" = the round-2/3 per-column SSA kernel.
+
+    Default: slab — chip-calibrated at 1.49-1.65 ms/call (winv, b=128,
+    B=64) vs 2.62 for the per-column form (tools/kernel_lab.py panels,
+    round 4; amortized in-dispatch loops + forced readbacks).
     """
     import os
 
-    algo = os.environ.get("PT_PANEL_ALGO", "column")
+    algo = os.environ.get("PT_PANEL_ALGO", "slab")
     return algo == "slab" and b % 8 == 0
 
 

@@ -50,13 +50,15 @@ def _apply_kernel(w_ref, d_ref, s_ref, b_ref, out_ref):
     d = d_ref[0].astype(jnp.float32)  # (1, n)
     s = s_ref[0].astype(jnp.float32)  # (1, n)
     v = b_ref[0].astype(jnp.float32) * s  # (1, n)
-    # y_i = sum_j W[i, j] v[j]  (contract W's columns)
-    y = lax.dot_general(
-        v, W, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (1, n)
+    # y_i = sum_j W[i, j] v[j].  Contracting W's LANE dim in a dot would
+    # materialize a W^T relayout copy in scoped VMEM (observed: 17M > the
+    # 16M limit at n=1024); a broadcast-multiply + lane reduction reads W
+    # once with no copy and is VMEM-bandwidth-bound either way.
+    y = jnp.sum(W * v, axis=1)[None, :]  # (1, n)
     d_safe = jnp.where(jnp.abs(d) > 0, d, jnp.ones_like(d))
     z = y / d_safe
-    # x_j = sum_i W[i, j] z[i]  (contract W's rows — no transpose copy)
+    # x_j = sum_i W[i, j] z[i]  (contract W's SUBLANE dim — native MXU
+    # layout, no transpose copy)
     x = lax.dot_general(
         z, W, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (1, n)
@@ -97,5 +99,13 @@ def winv_apply_fused(W, d, s, b, interpret: bool = False):
             ],
             out_specs=vec,
             interpret=interpret,
+            # the (1, n, n) W block + double buffering + the second dot's
+            # accumulators exceed the default 16M scoped-VMEM budget at
+            # n=1024; v5e has 128M physical VMEM
+            compiler_params=(
+                None
+                if interpret
+                else pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+            ),
         )(W, d.astype(jnp.float32)[:, None, :], sf[:, None, :], bf[:, None, :])
     return out[:, 0, :nk]

@@ -51,8 +51,11 @@ def test_winv_kernel_clamps_default_chunk_interpret():
 
 def test_factor_falls_back_when_no_chunk_fits(monkeypatch):
     """If even chunk=1 exceeds the winv VMEM budget, the batched winv panel
-    helper must use the XLA path instead of crashing at compile time."""
+    helper must use the XLA path instead of crashing at compile time.
+    (The budget applies to the per-column kernel; the round-4 slab default
+    has no chunk ceiling, so pin PT_PANEL_ALGO=column here.)"""
     calls = {"pallas": 0}
+    monkeypatch.setenv("PT_PANEL_ALGO", "column")
     monkeypatch.setattr(
         pallas_ldl, "winv_max_chunk", lambda b: 0
     )

@@ -137,7 +137,13 @@ def test_end_to_end_ip_solve_with_interpret_kernels(monkeypatch):
     import parapint_tpu.ops.pallas_ldl as pl
 
     monkeypatch.setattr(pl, "available", lambda: True)
-    for name in ("ldl_panels", "ldl_panels_batched", "ldl_panels_batched_winv"):
+    for name in (
+        "ldl_panels",
+        "ldl_panels_batched",
+        "ldl_panels_batched_winv",
+        "ldl_panels_slab",
+        "ldl_panels_slab_winv",
+    ):
         fn = getattr(pl, name)
         monkeypatch.setattr(pl, name, functools.partial(fn, interpret=True))
 

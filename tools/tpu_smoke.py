@@ -61,6 +61,16 @@ def smoke_pallas_kernels():
         F2, W = jax.block_until_ready(pallas_ldl.ldl_panels_batched_winv(A))
         err2 = float(jnp.max(jnp.abs(jnp.tril(F2) - jnp.tril(F_ref))))
         assert err2 < 1e-4 * b, f"winv kernel b={b}: err={err2}"
+        # round-4 slab kernels (the production default, PT_PANEL_ALGO=slab)
+        F3 = jax.block_until_ready(pallas_ldl.ldl_panels_slab(A))
+        err3 = float(jnp.max(jnp.abs(jnp.tril(F3) - jnp.tril(F_ref))))
+        assert err3 < 1e-4 * b, f"slab kernel b={b}: err={err3}"
+        F4, W4 = jax.block_until_ready(pallas_ldl.ldl_panels_slab_winv(A))
+        L4 = jnp.tril(F4, -1) + jnp.eye(b, dtype=jnp.float32)[None]
+        resid4 = float(
+            jnp.max(jnp.abs(jnp.einsum("nij,njk->nik", L4, W4) - jnp.eye(b)))
+        )
+        assert resid4 < 1e-3, f"slab winv kernel b={b}: L@W resid={resid4}"
         # W = L^{-1}: check L @ W == I on a sample
         L = jnp.tril(F2, -1) + jnp.eye(b, dtype=jnp.float32)[None]
         resid = float(
