@@ -158,12 +158,14 @@ def main():
             "stochastic_qp_32scenarios_1k",
             lambda: (
                 stochastic_qp(),
-                # adaptive refinement (not refine_steps=0): the QP's active
-                # bounds give real barrier ill-conditioning, unlike the
-                # refine-0-validated Burgers family
+                # HYBRID precision (f64 pivot sweep + f32 applies) with
+                # adaptive refinement: the QP's active bounds give real
+                # barrier ill-conditioning — an all-f32 sweep stalled the
+                # chip run at iteration 13 (status=error from the
+                # refinement-stall detector, exactly its job)
                 pt.SchurComplementSolver(
                     block_size=128, explicit_inverse=True,
-                    factor_dtype=jnp.float32,
+                    factor_dtype=jnp.float64, apply_dtype=jnp.float32,
                 ),
             ),
         )

@@ -240,8 +240,10 @@ def _inertia_status(d: jax.Array, nk: int, mask: jax.Array, zero_tol: float):
 def _factor_blocks(diag: jax.Array, mask: jax.Array, block_size: int, zero_tol: float):
     """Batched LDL^T of the diagonal blocks + per-block inertia/status."""
     nk = diag.shape[-1]
-    bs = min(block_size, max(8, nk))
-    LD, d = ldl_factor_batched(diag, block_size=bs)
+    # pass the user block size through: ldl_factor_batched snaps the panel
+    # width to a multiple of 8 itself (slab-kernel eligibility) — a
+    # pre-clamp to nk here would defeat that for odd tile sizes
+    LD, d = ldl_factor_batched(diag, block_size=block_size)
     inertia, status = _inertia_status(d, nk, mask, zero_tol)
     return LD, inertia, status
 
@@ -278,18 +280,17 @@ def _factor_blocks_winv(
         diag = diag.astype(factor_dtype)
     s = jax.vmap(ruiz_scale)(diag)  # (N, nk)
     diag = diag * s[:, :, None] * s[:, None, :]
-    bs = min(block_size, max(8, nk))
     if apply_dtype is None or apply_dtype == diag.dtype:
         # fused factor + W sweep: panel inverses come out of the factor
         # kernel, the global W is assembled by recursive halving from them
-        LD, d, W = ldl_factor_winv_batched(diag, block_size=bs)
+        LD, d, W = ldl_factor_winv_batched(diag, block_size=block_size)
         inertia, status = _inertia_status(d, nk, mask, zero_tol)
         return W, d, s, inertia, status
     LD, inertia, status = _factor_blocks(diag, mask, block_size, zero_tol)
     if LD.dtype != apply_dtype:
         LD = LD.astype(apply_dtype)
         s = s.astype(apply_dtype)
-    W, d = jax.vmap(lambda ld: ldl_winv(ld, bs))(LD)
+    W, d = jax.vmap(lambda ld: ldl_winv(ld, min(block_size, LD.shape[-1])))(LD)
     return W, d, s, inertia, status
 
 

@@ -491,7 +491,11 @@ def ldl_factor_batched(A: jax.Array, block_size: int = 128):
     shrinking trailing submatrix.
     """
     N, n, _ = A.shape
-    bs = min(block_size, max(8, n))
+    # snap the panel width UP to a multiple of 8: the slab kernel needs
+    # b % 8 == 0, and odd tile sizes (e.g. the chain SC's ns=49 tiles)
+    # would otherwise fall back to the slower per-column kernel; the extra
+    # rows are identity padding (excluded from inertia via the n argument)
+    bs = min(block_size, _round_up(max(8, n), 8))
     npad = _round_up(max(n, 1), bs)
     dt = A.dtype
     if npad != n:
@@ -586,7 +590,11 @@ def ldl_factor_winv_batched(A: jax.Array, block_size: int = 128):
     ``ldl_factor_batched`` + ``ldl_winv`` pipeline disappear entirely.
     """
     N, n, _ = A.shape
-    bs = min(block_size, max(8, n))
+    # snap the panel width UP to a multiple of 8: the slab kernel needs
+    # b % 8 == 0, and odd tile sizes (e.g. the chain SC's ns=49 tiles)
+    # would otherwise fall back to the slower per-column kernel; the extra
+    # rows are identity padding (excluded from inertia via the n argument)
+    bs = min(block_size, _round_up(max(8, n), 8))
     npad = _round_up(max(n, 1), bs)
     dt = A.dtype
     if npad != n:

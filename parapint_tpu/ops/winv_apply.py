@@ -43,30 +43,41 @@ def available() -> bool:
 
 
 def _apply_kernel(w_ref, d_ref, s_ref, b_ref, out_ref):
-    # one block per grid step; W stays in VMEM for BOTH matvecs.  Vector
-    # operands arrive as (1, 1, n) blocks (Pallas TPU requires the last two
-    # block dims divisible by (8, 128) or equal to the array dims).
-    W = w_ref[0].astype(jnp.float32)  # (n, n); convert-on-load if bf16
-    d = d_ref[0].astype(jnp.float32)  # (1, n)
-    s = s_ref[0].astype(jnp.float32)  # (1, n)
-    v = b_ref[0].astype(jnp.float32) * s  # (1, n)
+    # C blocks per grid step (amortizes the per-grid-step overhead —
+    # measured ~26 us/step at C=1, dominating the 4 MB DMA + two matvecs);
+    # W stays in VMEM for BOTH matvecs.  Vector operands arrive as
+    # (C, 1, n) blocks (Pallas TPU requires the last two block dims
+    # divisible by (8, 128) or equal to the array dims).
+    W = w_ref[...].astype(jnp.float32)  # (C, n, n); convert-on-load if bf16
+    d = d_ref[...].astype(jnp.float32)  # (C, 1, n)
+    s = s_ref[...].astype(jnp.float32)  # (C, 1, n)
+    v = b_ref[...].astype(jnp.float32) * s  # (C, 1, n)
     # y_i = sum_j W[i, j] v[j].  Contracting W's LANE dim in a dot would
     # materialize a W^T relayout copy in scoped VMEM (observed: 17M > the
-    # 16M limit at n=1024); a broadcast-multiply + lane reduction reads W
-    # once with no copy and is VMEM-bandwidth-bound either way.
-    y = jnp.sum(W * v, axis=1)[None, :]  # (1, n)
+    # 16M limit at n=1024 even at C=1); a broadcast-multiply + lane
+    # reduction reads W once with no copy and is VMEM-bandwidth-bound
+    # either way.
+    y = jnp.sum(W * v, axis=2)[:, None, :]  # (C, 1, n)
     d_safe = jnp.where(jnp.abs(d) > 0, d, jnp.ones_like(d))
     z = y / d_safe
     # x_j = sum_i W[i, j] z[i]  (contract W's SUBLANE dim — native MXU
     # layout, no transpose copy)
     x = lax.dot_general(
-        z, W, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (1, n)
-    out_ref[0] = x * s
+        z, W, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (C, 1, n)
+    out_ref[...] = x * s
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def winv_apply_fused(W, d, s, b, interpret: bool = False):
+def apply_chunk_default(n: int, B: int, itemsize: int = 4) -> int:
+    """Blocks per grid step: amortize the per-step overhead while keeping
+    W chunk + double buffering within ~2/3 of the 100M VMEM budget."""
+    budget = 32 * 2**20  # per buffered W chunk
+    c = max(1, budget // (n * n * itemsize))
+    return int(min(c, B, 8))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def winv_apply_fused(W, d, s, b, interpret: bool = False, chunk=None):
     """Batched K_i^{-1} b_i with one HBM pass over W per block.
 
     W: (B, n, n) f32 or bf16 (L^{-1} of the Ruiz-scaled blocks)
@@ -81,17 +92,30 @@ def winv_apply_fused(W, d, s, b, interpret: bool = False):
     if nk != n:
         bf = jnp.pad(bf, ((0, 0), (0, n - nk)))
         sf = jnp.pad(sf, ((0, 0), (0, n - nk)), constant_values=1.0)
-    # vectors as (B, 1, n): TPU block shapes need the last two dims
+    if chunk is None:
+        chunk = apply_chunk_default(n, B, W.dtype.itemsize)
+    C = max(1, min(chunk, B))
+    rem = (-B) % C
+    df = d.astype(jnp.float32)
+    if rem:
+        W = jnp.concatenate(
+            [W, jnp.zeros((rem, n, n), dtype=W.dtype)], axis=0
+        )
+        df = jnp.concatenate([df, jnp.ones((rem, n), jnp.float32)], axis=0)
+        sf = jnp.concatenate([sf, jnp.ones((rem, n), jnp.float32)], axis=0)
+        bf = jnp.concatenate([bf, jnp.zeros((rem, n), jnp.float32)], axis=0)
+    Bp = W.shape[0]
+    # vectors as (C, 1, n): TPU block shapes need the last two dims
     # divisible by (8, 128) or equal to the array dims
-    vec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((C, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             _apply_kernel,
-            out_shape=jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
-            grid=(B,),
+            out_shape=jax.ShapeDtypeStruct((Bp, 1, n), jnp.float32),
+            grid=(Bp // C,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                    (C, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                 ),
                 vec,
                 vec,
@@ -99,13 +123,13 @@ def winv_apply_fused(W, d, s, b, interpret: bool = False):
             ],
             out_specs=vec,
             interpret=interpret,
-            # the (1, n, n) W block + double buffering + the second dot's
-            # accumulators exceed the default 16M scoped-VMEM budget at
-            # n=1024; v5e has 128M physical VMEM
+            # the (C, n, n) W chunk + double buffering + accumulators
+            # exceed the default 16M scoped-VMEM budget (observed at C=1,
+            # n=1024); v5e has 128M physical VMEM
             compiler_params=(
                 None
                 if interpret
                 else pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
             ),
-        )(W, d.astype(jnp.float32)[:, None, :], sf[:, None, :], bf[:, None, :])
-    return out[:, 0, :nk]
+        )(W, df[:, None, :], sf[:, None, :], bf[:, None, :])
+    return out[:B, 0, :nk]

@@ -126,3 +126,31 @@ def test_factor_winv_batched_matches_separate(n, bs):
     L = np.tril(np.asarray(LD), -1) + np.eye(npad)
     prod = np.einsum("bij,bjk->bik", np.asarray(W), L)
     np.testing.assert_allclose(prod, np.broadcast_to(np.eye(npad), prod.shape), atol=1e-8)
+
+
+def test_panel_width_snaps_to_multiple_of_8():
+    """Odd block sizes (e.g. the chain SC's ns=49 tiles) snap the panel
+    width UP to a multiple of 8 so the slab kernel stays eligible; the
+    extra rows are identity padding excluded from the inertia."""
+    import jax
+
+    from parapint_tpu.ops.ldl import (
+        ldl_factor_batched,
+        ldl_factor_winv_batched,
+        ldl_inertia,
+    )
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((3, 49, 49))
+    A = (A + A.transpose(0, 2, 1)) + 49 * np.eye(49)
+    LD, d = ldl_factor_batched(jnp.asarray(A), block_size=64)
+    assert LD.shape[-1] == 56, LD.shape
+    LD2, d2, W = ldl_factor_winv_batched(jnp.asarray(A), block_size=64)
+    assert LD2.shape[-1] == 56
+    L = np.tril(np.asarray(LD2), -1) + np.eye(56)
+    rec = np.einsum("bij,bj,bkj->bik", L, np.asarray(d2), L)[:, :49, :49]
+    assert np.max(np.abs(rec - A)) < 1e-9 * np.max(np.abs(A))
+    pos, neg, zero = jax.vmap(lambda x: ldl_inertia(x, n=49))(d2)
+    w = np.linalg.eigvalsh(A[0])
+    assert int(pos[0]) == (w > 0).sum() and int(neg[0]) == (w < 0).sum()
+    assert int(zero[0]) == 0

@@ -63,18 +63,23 @@ def _force(out):
     return total
 
 
-def timed_loop(step, x0, reps=REPS):
-    """Amortized seconds per `step` application, best of 3 dispatches."""
+def timed_loop(step, x0, reps=REPS, consts=()):
+    """Amortized seconds per `step` application, best of 3 dispatches.
+
+    ``consts``: extra operands passed as jit ARGUMENTS (a step that merely
+    closes over a large array would inline it as an HLO constant — a
+    268 MB W blows the relay's remote-compile payload limit, HTTP 413).
+    """
 
     @jax.jit
-    def run(x):
-        return lax.fori_loop(0, reps, lambda i, x: step(x), x)
+    def run(x, *cs):
+        return lax.fori_loop(0, reps, lambda i, x: step(x, *cs), x)
 
-    _force(run(x0))
+    _force(run(x0, *consts))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _force(run(x0))
+        _force(run(x0, *consts))
         best = min(best, time.perf_counter() - t0)
     return best / reps
 
@@ -198,47 +203,56 @@ def cmd_mxu(args):
 
 
 def cmd_solve(args):
-    """Back-solve pieces at the bench production shape."""
-    from parapint_tpu.ops import ldl as L
+    """Back-solve pieces at the bench production shape.
+
+    Compares the fused Pallas apply (one HBM pass over W) with the XLA
+    two-GEMV form, in f32 and with bf16-stored W."""
     from parapint_tpu.ops.ldl import ldl_factor_winv_batched
+    from parapint_tpu.ops import winv_apply as wk
 
     N, n = args.B, args.n
     A = make_spd(N, n)
-    LD, d, W = jax.jit(functools.partial(ldl_factor_winv_batched, block_size=128))(A)
+    LD, d, W = jax.jit(
+        functools.partial(ldl_factor_winv_batched, block_size=128)
+    )(A)
     s = jnp.ones((N, n), dtype=jnp.float32)
     b = jnp.ones((N, n), dtype=jnp.float32)
-    from parapint_tpu.linalg.schur import _winv_apply_batched
+    gb = N * n * n * 4 / 1e9
 
-    def apply_f32(bb):
-        x = _winv_apply_batched(W, d, s, bb)
+    def renorm(x):
         return x / jnp.maximum(jnp.max(jnp.abs(x)), 1.0) + 1.0
 
-    t = timed_loop(apply_f32, b)
-    gb = 2 * N * n * n * 4 / 1e9
-    print(f"winv apply f32 (2 GEMV reads, {gb:.2f} GB): {t*1e3:.3f} ms "
-          f"= {gb/t:.0f} GB/s effective")
+    def xla_apply(bb, Wc, dc, sc):
+        cdt = jnp.float32
+        Wf = Wc.astype(cdt)
+        d_safe = jnp.where(jnp.abs(dc.astype(cdt)) > 0, dc.astype(cdt), 1.0)
+        y = jnp.einsum("bij,bj->bi", Wf, bb * sc, preferred_element_type=cdt)
+        x = jnp.einsum(
+            "bji,bj->bi", Wf, y / d_safe, preferred_element_type=cdt
+        )
+        return renorm(x * sc)
 
-    Wb = W.astype(jnp.bfloat16)
+    def fused_apply(bb, Wc, dc, sc):
+        return renorm(wk.winv_apply_fused(Wc, dc, sc, bb))
 
-    def apply_bf16(bb):
-        x = _winv_apply_batched(Wb, d.astype(jnp.bfloat16), s.astype(jnp.bfloat16), bb.astype(jnp.bfloat16))
-        x = x.astype(jnp.float32)
-        return x / jnp.maximum(jnp.max(jnp.abs(x)), 1.0) + 1.0
-
-    t = timed_loop(apply_bf16, b)
-    print(f"winv apply bf16 storage ({gb/2:.2f} GB): {t*1e3:.3f} ms")
-
-    # mixed: bf16 W with f32 math (XLA converts on load)
-    def apply_mixed(bb):
-        d_safe = jnp.where(jnp.abs(d) > 0, d, 1.0)
-        y = jnp.einsum("bij,bj->bi", Wb.astype(jnp.float32), bb,
-                       preferred_element_type=jnp.float32)
-        x = jnp.einsum("bji,bj->bi", Wb.astype(jnp.float32), y / d_safe,
-                       preferred_element_type=jnp.float32)
-        return x / jnp.maximum(jnp.max(jnp.abs(x)), 1.0) + 1.0
-
-    t = timed_loop(apply_mixed, b)
-    print(f"winv apply bf16->f32 convert-on-load: {t*1e3:.3f} ms")
+    for name, Wv in (("f32", W), ("bf16", W.astype(jnp.bfloat16))):
+        bytes_w = gb if name == "f32" else gb / 2
+        try:
+            t = timed_loop(xla_apply, b, consts=(Wv, d, s))
+            print(
+                f"XLA 2-GEMV apply W={name} ({bytes_w:.2f} GB/read x2): "
+                f"{t*1e3:.3f} ms = {2*bytes_w/t:.0f} GB/s effective"
+            )
+        except Exception as ex:
+            print(f"XLA apply W={name}: FAIL {str(ex)[:120]}")
+        try:
+            t = timed_loop(fused_apply, b, consts=(Wv, d, s))
+            print(
+                f"fused Pallas apply W={name} ({bytes_w:.2f} GB/read x1): "
+                f"{t*1e3:.3f} ms = {bytes_w/t:.0f} GB/s effective"
+            )
+        except Exception as ex:
+            print(f"fused apply W={name}: FAIL {str(ex)[:120]}")
 
 
 def cmd_dispatch(args):
