@@ -261,10 +261,10 @@ def cr_solve(fact: CRFactor, r: jax.Array) -> jax.Array:
             "eij,ei->ej", uo_shift.astype(xk.dtype), xk_pad[:E]
         ) + jnp.einsum("eij,ej->ei", ue_ext.astype(xk.dtype), xk_pad[1 : E + 1])
         xe = z - jnp.einsum("eij,ej->ei", tinv.astype(xk.dtype), corr)
-        out = jnp.zeros((2 * K + 1, ns), dtype=xk.dtype)
-        out = out.at[0::2].set(xe)
-        out = out.at[1::2].set(xk)
-        x = out
+        # interleave [xe_0, xk_0, xe_1, xk_1, ..., xe_K]: strided .at[::2]
+        # scatters serialize on TPU; a stack+reshape is pure data movement
+        xk_ext = jnp.concatenate([xk, jnp.zeros((1, ns), dtype=xk.dtype)])
+        x = jnp.stack([xe, xk_ext], axis=1).reshape(-1, ns)[: 2 * K + 1]
     x = x[:m]
     return x.reshape(-1) if flat else x
 
