@@ -65,6 +65,60 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _ldl_slab_batched_xla(A: jax.Array, r: int = 8) -> jax.Array:
+    """Batched unpivoted LDL^T in slab form, pure XLA: (N, b, b) -> packed.
+
+    The per-column form (`vmap(_ldl_unblocked)`) rewrites the FULL working
+    matrix once per column (b dynamic-update passes over (N, b, b) — the
+    dominant cost of every non-Pallas factorization: the f64 hybrid pivot
+    sweep, CPU runs).  Here a `lax.fori_loop` over b/r slabs does r
+    rank-1 steps on just the (N, b, r) slab, then ONE rank-r matmul
+    trailing update — 16x less data per serial step and r-fold fewer
+    full-matrix writes.  Same true-pivot-column dataflow as the kernels
+    (the factor derives from the lower triangle only).
+    """
+    N, b, b2 = A.shape
+    assert b == b2 and b % r == 0
+    dt = A.dtype
+    row_b = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)  # rows of M
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, 1, r), 2)  # slab col idx
+
+    def slab_body(k, M):
+        j0 = k * r
+        S = lax.dynamic_slice(M, (0, 0, j0), (N, b, r))
+        Xacc = jnp.zeros_like(S)  # raw masked columns (the rank-1 "x")
+        for jj in range(r):
+            j = j0 + jj
+            col = S[:, :, jj : jj + 1]  # (N, b, 1) true column j
+            piv = lax.dynamic_slice(col, (0, j, 0), (N, 1, 1))
+            piv_safe = jnp.where(jnp.abs(piv) > 0, piv, jnp.ones_like(piv))
+            below = row_b > j  # (1, b, 1), dynamic j
+            l = jnp.where(below, col / piv_safe, jnp.zeros_like(col))
+            colmask = jnp.where(below, col, jnp.zeros_like(col))
+            Xacc = jnp.where(lane_r == jnp.int32(jj), colmask, Xacc)
+            # x over the slab's later columns: raw column-j values at rows
+            # j0+kk (kk > jj), as a (N, 1, r) row
+            xs = jnp.swapaxes(
+                lax.dynamic_slice(colmask, (0, j0, 0), (N, r, 1)), 1, 2
+            )
+            xs = jnp.where(lane_r > jnp.int32(jj), xs, jnp.zeros_like(xs))
+            packed = jnp.where(below, l, col)
+            S = jnp.where(lane_r == jnp.int32(jj), packed, S - l * xs)
+        M = lax.dynamic_update_slice(M, S, (0, 0, j0))
+        # trailing update: M[i, c] -= sum_jj L[i, jj] * X[c, jj], c >= j0+r.
+        # L = S masked below the per-column diagonal; X = raw columns masked
+        # to rows >= the slab end (in-slab columns were updated above).
+        Lmask = row_b > (jnp.int32(j0) + lane_r)  # (1, b, r)
+        Ls = jnp.where(Lmask, S, jnp.zeros_like(S))
+        Xt = jnp.where(row_b >= j0 + r, Xacc, jnp.zeros_like(Xacc))
+        upd = jnp.einsum(
+            "nir,ncr->nic", Ls, Xt, preferred_element_type=dt
+        )
+        return M - upd
+
+    return lax.fori_loop(0, b // r, slab_body, A)
+
+
 def _panel_factor(Akk: jax.Array) -> jax.Array:
     """Base-case panel factorization, dispatched to the Pallas VMEM-resident
     kernel on TPU (ops/pallas_ldl.py) and the pure-XLA loop elsewhere.
@@ -476,6 +530,8 @@ def _panel_factor_batch(Akk: jax.Array) -> jax.Array:
         if _use_slab_kernel(Akk.shape[-1]):
             return pallas_ldl.ldl_panels_slab(Akk)
         return pallas_ldl.ldl_panels_batched(Akk)
+    if Akk.shape[-1] % 8 == 0:
+        return _ldl_slab_batched_xla(Akk)
     return jax.vmap(_ldl_unblocked)(Akk)
 
 
@@ -548,7 +604,10 @@ def _panel_factor_batch_winv(Akk: jax.Array):
             return pallas_ldl.ldl_panels_slab_winv(Akk)
         if pallas_ldl.winv_max_chunk(Akk.shape[-1]) >= 1:
             return pallas_ldl.ldl_panels_batched_winv(Akk)
-    F = jax.vmap(_ldl_unblocked)(Akk)
+    if Akk.shape[-1] % 8 == 0:
+        F = _ldl_slab_batched_xla(Akk)
+    else:
+        F = jax.vmap(_ldl_unblocked)(Akk)
     Lkk = jnp.tril(F, -1) + jnp.eye(Akk.shape[-1], dtype=Akk.dtype)
     return F, _unit_lower_inv_b(Lkk)
 
