@@ -506,6 +506,10 @@ def _use_slab_kernel(b: int) -> bool:
     Default: slab — chip-calibrated at 1.49-1.65 ms/call (winv, b=128,
     B=64) vs 2.62 for the per-column form (tools/kernel_lab.py panels,
     round 4; amortized in-dispatch loops + forced readbacks).
+
+    NOTE: read at TRACE time — set the env var BEFORE the first
+    factorization of a given shape; later changes do not invalidate the
+    jit cache (compiled executables keep the kernel they traced with).
     """
     import os
 

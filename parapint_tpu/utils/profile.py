@@ -29,6 +29,79 @@ def profile_call(log_dir: str, fn, *args, **kwargs):
     return out
 
 
+def leafsum(out):
+    """A traced f32 scalar depending on every floating leaf of ``out``.
+
+    Fused INTO the timed jit (see :func:`timed_fused`), reading it forces
+    the whole computation — ``block_until_ready`` can complete at enqueue
+    time on relayed backends (observed on the axon TPU tunnel), and a
+    SEPARATE per-leaf readback pays the relay's per-dispatch floor once
+    per leaf (~27 ms each), swamping iteration-scale phases.
+    """
+    import jax.numpy as jnp
+
+    tot = jnp.float32(0)
+    for leaf in jax.tree_util.tree_leaves(out):
+        a = jnp.asarray(leaf)
+        if a.size and jnp.issubdtype(a.dtype, jnp.floating):
+            tot = tot + jnp.sum(jnp.abs(a.astype(jnp.float32)))
+    return tot
+
+
+_FLOOR = None
+
+
+def dispatch_floor(refresh: bool = False) -> float:
+    """Measured per-dispatch relay floor (cached; it VARIES between
+    sessions and even within one — re-measure with ``refresh=True`` near
+    the timings it will be subtracted from)."""
+    import time
+
+    import jax.numpy as jnp
+
+    global _FLOOR
+    if _FLOOR is None or refresh:
+        g = jax.jit(lambda x: x + 1.0)
+        x = jnp.float32(0)
+        float(g(x))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(g(x))
+            best = min(best, time.perf_counter() - t0)
+        _FLOOR = best
+    return _FLOOR
+
+
+def timed_fused(f, *a, reps: int = 5, subtract_floor: bool = True):
+    """(output, best-of-``reps`` seconds) for one call of ``f``.
+
+    The readback reduction (:func:`leafsum`) is fused into the SAME jitted
+    dispatch as ``f`` and the measured dispatch floor is subtracted — the
+    only per-call timing recipe that is honest on the relayed TPU backend
+    (see tools/kernel_lab.py's module docstring for the amortized-loop
+    variant, preferable for sub-millisecond kernels).
+    """
+    import time
+
+    floor = dispatch_floor() if subtract_floor else 0.0
+
+    def fused(*aa):
+        out = f(*aa)
+        return leafsum(out), out
+
+    g = jax.jit(fused)
+    tot, out = g(*a)
+    float(tot)  # compile + sync
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        tot, out = g(*a)
+        float(tot)
+        best = min(best, time.perf_counter() - t0)
+    return out, max(0.0, best - floor)
+
+
 def solver_phase_breakdown(solver, kkt, rhs, reps: int = 3):
     """Host-side per-phase wall times of one factor+solve cycle.
 
@@ -36,48 +109,20 @@ def solver_phase_breakdown(solver, kkt, rhs, reps: int = 3):
     ``form SC`` / ``factorize SC`` / ``communicate`` / ``back solve``
     (mpi_explicit_schur_complement.py:207-360).  Under whole-solve fusion
     those phases are not separable at runtime, so this diagnostic runs the
-    *unfused* phases — each jitted alone, timed with blocking readbacks —
-    on the given KKT system.  It localizes perf regressions without a full
+    *unfused* phases — each jitted alone, timed by :func:`timed_fused`
+    (readback reduction fused into the dispatch, floor subtracted) — on
+    the given KKT system.  It localizes perf regressions without a full
     profiler trace; for in-fusion attribution the solver also emits
     ``jax.named_scope`` labels with the same names, visible in
     ``jax.profiler`` traces (see :func:`trace`).
 
     Returns a dict: phase name -> best-of-``reps`` seconds.
     """
-    import time
-
-    import jax.numpy as jnp
-
-    def _force(out):
-        # value-dependent scalar readback: block_until_ready can complete at
-        # enqueue time on relayed/remote backends (observed on the axon TPU
-        # tunnel), silently reporting near-zero times.  The forced scalar
-        # depends on EVERY leaf — a single-leaf readback does not guarantee
-        # completion when the callable issues multiple dispatches or its
-        # first output is produced early.
-        total = 0.0
-        for leaf in jax.tree_util.tree_leaves(out):
-            a = jnp.asarray(leaf)
-            if jnp.issubdtype(a.dtype, jnp.floating) or jnp.issubdtype(
-                a.dtype, jnp.integer
-            ):
-                total += float(jnp.sum(jnp.abs(a.astype(jnp.float32))))
-        return out
-
-    def _timed(f, *a):
-        out = _force(f(*a))  # compile
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _force(f(*a))
-            best = min(best, time.perf_counter() - t0)
-        return out, best
-
     times = {}
-    fact, times["numeric (factor blocks + form SC + factor SC)"] = _timed(
-        jax.jit(solver.numeric), kkt
+    fact, times["numeric (factor blocks + form SC + factor SC)"] = timed_fused(
+        solver.numeric, kkt, reps=reps
     )
-    _, times["solve (block solves + SC back solve)"] = _timed(
-        jax.jit(solver.solve), fact, rhs
+    _, times["solve (block solves + SC back solve)"] = timed_fused(
+        solver.solve, fact, rhs, reps=reps
     )
     return times

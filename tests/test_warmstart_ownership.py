@@ -48,10 +48,22 @@ class TestDualWarmStart:
         warm_spec.zl0 = np.asarray(sol.duals_primals_lb["blocks"])
         warm_spec.zu0 = np.asarray(sol.duals_primals_ub["blocks"])
         warm_if = pt.DynamicSchurComplementInteriorPointInterface(warm_spec)
+        # the warm values must actually ENTER the initial state (guards the
+        # spec-plumbing regression that iteration counts alone can't: equal
+        # counts could mask a completely ignored warm start)
+        ws = warm_if.init_state()
+        np.testing.assert_allclose(
+            np.asarray(ws.duals_eq["own"]), np.asarray(sol.duals_eq["own"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(ws.primals["coupling"]),
+            np.asarray(sol.primals["coupling"]),
+        )
         warm = _fused_solve(warm_if)
         warm_iters = int(warm.iterations)
         # iteration SAVINGS are not guaranteed under every solver/tolerance
-        # tweak; the hard assertions are no-regression + solution parity
+        # tweak; the hard assertions are warm-values-in-state (above),
+        # no-regression, and solution parity
         assert warm_iters <= cold_iters, (warm_iters, cold_iters)
         # warm solution still matches the cold one
         np.testing.assert_allclose(

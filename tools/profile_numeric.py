@@ -20,55 +20,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _leafsum(out):
-    tot = jnp.float32(0)
-    for leaf in jax.tree_util.tree_leaves(out):
-        a = jnp.asarray(leaf)
-        if a.size and jnp.issubdtype(a.dtype, jnp.floating):
-            tot = tot + jnp.sum(jnp.abs(a.astype(jnp.float32)))
-    return tot
-
-
-_FLOOR = None
-
-
-def dispatch_floor():
-    """Measured per-dispatch relay floor (one jitted scalar readback)."""
-    global _FLOOR
-    if _FLOOR is None:
-        g = jax.jit(lambda x: x + 1.0)
-        x = jnp.float32(0)
-        float(g(x))
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(g(x))
-            best = min(best, time.perf_counter() - t0)
-        _FLOOR = best
-        print(f"dispatch floor: {best*1e3:.2f} ms (subtracted from phases)")
-    return _FLOOR
+from parapint_tpu.utils.profile import dispatch_floor, timed_fused
 
 
 def timed(f, *a, reps=5):
-    """Per-call seconds with the readback REDUCTION fused into the same
-    dispatch (a separate per-leaf readback pays the ~27 ms relay floor per
-    leaf) and the measured dispatch floor subtracted."""
-    floor = dispatch_floor()
-
-    def fused(*aa):
-        out = f(*aa)
-        return _leafsum(out), out
-
-    g = jax.jit(fused)
-    tot, out = g(*a)
-    float(tot)  # compile + sync
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        tot, out = g(*a)
-        float(tot)
-        best = min(best, time.perf_counter() - t0)
-    return out, max(0.0, best - floor)
+    """Shared fused-readback timing (parapint_tpu.utils.profile)."""
+    return timed_fused(f, *a, reps=reps)
 
 
 def main():
@@ -87,10 +44,9 @@ def main():
     print(f"diag shape {kkt.diag.shape} dtype {kkt.diag.dtype} "
           f"border {kkt.border_loc.shape} q {kkt.q.shape}")
 
-    # dispatch floor
-    zero = jnp.zeros(8, jnp.float32)
-    _, floor = timed(jax.jit(lambda x: x + 1), zero)
-    print(f"dispatch floor: {floor*1e3:.2f} ms")
+    # floor is subtracted inside timed_fused; print it for the record
+    from parapint_tpu.utils import profile as _prof
+    print(f"dispatch floor: {_prof.dispatch_floor()*1e3:.2f} ms (subtracted)")
 
     times = {}
     # full numeric
@@ -141,7 +97,7 @@ def main():
 
     _, times["sc_factor_cr"] = timed(jax.jit(sc_num), dt_c, ut_full, kkt.q)
 
-    adj = {k: round((v - floor) * 1e3, 2) for k, v in times.items()}
+    adj = {k: round(v * 1e3, 2) for k, v in times.items()}
     print(json.dumps(adj))
 
 
