@@ -122,6 +122,44 @@ def test_slab_kernel_consistent_on_asymmetric_input():
     )
 
 
+def test_slab_kernels_random_shapes_vs_unblocked():
+    """Randomized shape sweep of the slab kernels (interpret mode):
+    indefinite, ill-scaled, and padded-batch cases must all reconstruct
+    L D L^T = A and agree with the unblocked column algorithm."""
+    import jax
+    from parapint_tpu.ops.pallas_ldl import ldl_panels_slab, ldl_panels_slab_winv
+
+    rng = np.random.default_rng(42)
+    for B, b, scale, chunk in [
+        (1, 8, 1.0, None),
+        (5, 16, 1e4, 2),
+        (2, 40, 1e-3, None),
+        (3, 56, 1.0, 2),
+        (9, 24, 1.0, 4),  # B not a multiple of chunk
+    ]:
+        A = rng.standard_normal((B, b, b)) * scale
+        A = (A + A.swapaxes(1, 2)) / 2
+        # strong diagonal with mixed signs: unpivoted-stable, indefinite
+        signs = np.where(rng.random((B, b)) < 0.3, -1.0, 1.0)
+        A += np.einsum("bi,ij->bij", signs * (2 * b * scale), np.eye(b))
+        Af = jnp.asarray(A, dtype=jnp.float32)
+        ref = np.tril(
+            np.asarray(jax.vmap(_ldl_unblocked)(Af)), 0
+        )
+        out = np.asarray(ldl_panels_slab(Af, chunk=chunk, interpret=True))
+        scale_ref = np.max(np.abs(ref))
+        assert (
+            np.max(np.abs(np.tril(out) - ref)) < 3e-5 * scale_ref
+        ), (B, b, scale)
+        out2, W = ldl_panels_slab_winv(Af, chunk=chunk, interpret=True)
+        L = np.tril(np.asarray(out2), -1) + np.eye(b)
+        d = np.asarray(jnp.diagonal(out2, axis1=1, axis2=2))
+        rec = np.einsum("bij,bj,bkj->bik", L, d, L)
+        assert np.max(np.abs(rec - A)) < 3e-5 * np.max(np.abs(A)), (B, b)
+        WL = np.einsum("bij,bjk->bik", np.asarray(W), L)
+        assert np.max(np.abs(WL - np.eye(b))) < 2e-3, (B, b, scale)
+
+
 def test_end_to_end_ip_solve_with_interpret_kernels(monkeypatch):
     """Full fused IP solve with the PALLAS kernels in interpret mode.
 
