@@ -255,6 +255,48 @@ def cmd_solve(args):
             print(f"fused apply W={name}: FAIL {str(ex)[:120]}")
 
 
+def cmd_bw(args):
+    """Pure-DMA ceiling probe: a kernel that only reads (C, n, n) W chunks
+    from HBM and writes a per-column reduction.  Distinguishes 'the fused
+    apply is DMA-bound' (this runs at the same ~160 GB/s) from 'its
+    compute/layout is the issue' (this runs near the ~800 GB/s HBM peak)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, n = args.B, args.n
+    W = make_spd(N, n)
+    gb = N * n * n * 4 / 1e9
+
+    for C in (1, 4, 8):
+        def kern(w_ref, o_ref):
+            o_ref[...] = jnp.sum(w_ref[...], axis=1, keepdims=True)
+
+        def reduce_w(x, Wc):
+            out = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((N, 1, n), jnp.float32),
+                grid=(N // C,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (C, n, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ],
+                out_specs=pl.BlockSpec(
+                    (C, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 2**20
+                ),
+            )(Wc)
+            return x + jnp.sum(out) * 1e-30
+
+        with jax.enable_x64(False):
+            t = timed_loop(reduce_w, jnp.float32(0), consts=(W,))
+        print(f"read-only reduce C={C}: {t*1e3:.3f} ms = {gb/t:.0f} GB/s")
+
+
 def cmd_dispatch(args):
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.ones(8, dtype=jnp.float32)
@@ -292,6 +334,11 @@ def main():
     ps.add_argument("--B", type=int, default=64)
     ps.add_argument("--n", type=int, default=1024)
     ps.set_defaults(fn=cmd_solve)
+
+    pb = sub.add_parser("bw")
+    pb.add_argument("--B", type=int, default=64)
+    pb.add_argument("--n", type=int, default=1024)
+    pb.set_defaults(fn=cmd_bw)
 
     pd = sub.add_parser("dispatch")
     pd.set_defaults(fn=cmd_dispatch)
