@@ -139,7 +139,15 @@ def _make_slab_kernel(b: int, r: int, with_w: bool):
         dot_general per slab (MXU), not r rank-1 VPU sweeps;
       * the W = L^{-1} accumulation becomes two rank-r matmuls per slab
         (W_slab <- L11^{-1} W_slab; W_after -= L21 W_slab) instead of a
-        full-width (C, b, b) rank-1 per column.
+        full-width (C, b, b) rank-1 per column.  L11^{-1} itself is NOT
+        accumulated inside the serial loop (that cost 2-3 extra chained
+        VPU ops per column step — the round-4 profile put the slab kernels
+        at ~0.4-0.7 us per dependent op regardless of operand size);
+        it is reconstructed AFTER the loop from the already-packed slab
+        columns by Neumann doubling on the nilpotent strict-lower part:
+        (I + N)^{-1} = I - N + N^2 - ... truncates exactly at r terms,
+        so ceil(log2(r)) squaring rounds = ~3 tiny (C, r, r) MXU dots
+        replace 2r chained in-loop ops.
 
     Layout: the kernel works on the TRANSPOSED matrix At = A^T (wrappers
     transpose in XLA), so a slab of columns is a SUBLANE slice (free) and
@@ -183,9 +191,6 @@ def _make_slab_kernel(b: int, r: int, with_w: bool):
             # column-major copy of the slab's diagonal block:
             # Q[c, ii, jj] = A[j0+ii, j0+jj]
             Q = jnp.swapaxes(S[:, :, j0:e], 1, 2)  # (C, r, r)
-            L11inv = None
-            if with_w:
-                L11inv = jnp.broadcast_to(eye_r, (S.shape[0], r, r))
             for jj in range(r):
                 j = j0 + jj
                 colj = S[:, jj : jj + 1, :]  # (C, 1, b) true column j
@@ -203,9 +208,6 @@ def _make_slab_kernel(b: int, r: int, with_w: bool):
                 # Q mirrors the slab-lane part with bitwise identical
                 # products: Q[kk, m] -= x[kk] * l_slab[m]
                 Q = Q - xsub * l[:, :, j0:e]
-                if with_w:
-                    lq = xsub / piv_safe  # (C, r, 1) = l restricted to slab
-                    L11inv = L11inv - lq * L11inv[:, jj : jj + 1, :]
             out_ref[:, j0:e, :] = S
             # masked L in both orientations.  ONE explicit (C,r,b)->(C,b,r)
             # transpose per slab buys NATIVE MXU dot layouts below
@@ -230,6 +232,27 @@ def _make_slab_kernel(b: int, r: int, with_w: bool):
                 )  # (C, b - e, b)
                 out_ref[:, e:, :] = out_ref[:, e:, :] - upd
             if with_w:
+                # L11^{-1} by Neumann doubling on the packed slab columns
+                # (NOT accumulated in the serial loop above — see the
+                # factory docstring).  Ls[:, jj, j0+ii] = L11[ii, jj] for
+                # ii > jj, so the natural-layout strict-lower part is one
+                # tiny (C, r, r) transpose away.  With Nm = -strict(L11),
+                # L11^{-1} = I + Nm + Nm^2 + ... truncating exactly at
+                # Nm^{r-1} (nilpotent): double S <- S + P @ S, P <- P @ P.
+                Nm = -jnp.swapaxes(Ls[:, :, j0:e], 1, 2)  # (C, r, r)
+                L11inv = jnp.broadcast_to(eye_r, Nm.shape) + Nm
+                P = Nm
+                covered = 2  # L11inv holds sum over exponents < covered
+                while covered < r:
+                    P = lax.dot_general(
+                        P, P, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=dt,
+                    )
+                    L11inv = L11inv + lax.dot_general(
+                        P, L11inv, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=dt,
+                    )
+                    covered *= 2
                 Ws = w_ref[:, j0:e, :]  # (C, r, b) rows j0..e of W
                 Ws = lax.dot_general(
                     L11inv,
