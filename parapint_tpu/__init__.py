@@ -54,6 +54,7 @@ from parapint_tpu.linalg import (
     PCGSchurComplementSolver,
     BlockTridiagSolver,
     CondensedLSQSolver,
+    BandedSchurComplementSolver,
 )
 from parapint_tpu.models import NLPModel
 from parapint_tpu.interfaces import (
@@ -87,6 +88,7 @@ __all__ = [
     "PCGSchurComplementSolver",
     "BlockTridiagSolver",
     "CondensedLSQSolver",
+    "BandedSchurComplementSolver",
     "NLPModel",
     "InteriorPointInterface",
     "DynamicSchurComplementInteriorPointInterface",

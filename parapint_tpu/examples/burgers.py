@@ -115,12 +115,28 @@ def main(
     linear_solver=None,
     mesh=None,
     options: "pt.IPOptions | None" = None,
+    block_form: str = "dense",
 ):
+    """``block_form="banded"`` routes the per-block KKTs through the banded
+    factorization path (O(nk * bandwidth) per-block memory) — required for
+    the reference's flagship scaling knob ``--nfe_x`` beyond ~100
+    (/root/reference/parapint/examples/burgers.py:14-20), where the dense
+    (N, nk, nk) batch no longer fits: the Burgers KKT bandwidth stays ~70
+    under the fill-reducing ordering regardless of nfe_x."""
     spec = build_spec(nfe_x=nfe_x, nfe_t=nfe_t, num_time_blocks=num_time_blocks)
-    interface = pt.DynamicSchurComplementInteriorPointInterface(spec, mesh=mesh)
+    interface = pt.DynamicSchurComplementInteriorPointInterface(
+        spec, mesh=mesh, block_form=block_form
+    )
     if options is None:
         options = pt.IPOptions()
-    options.linalg.solver = linear_solver or pt.SchurComplementSolver(block_size=128)
+    if linear_solver is not None:
+        options.linalg.solver = linear_solver
+    elif block_form == "banded":
+        options.linalg.solver = pt.BandedSchurComplementSolver(
+            schur_complement_solver=pt.BlockTridiagSolver(ns=interface.ns)
+        )
+    else:
+        options.linalg.solver = pt.SchurComplementSolver(block_size=128)
     status = pt.ip_solve(interface, options)
     assert status == pt.InteriorPointStatus.optimal
     return interface
@@ -135,6 +151,11 @@ if __name__ == "__main__":
     parser.add_argument("--nfe_x", type=int, default=50)
     parser.add_argument("--nfe_t", type=int, default=200)
     parser.add_argument("--nblocks", type=int, default=4)
+    parser.add_argument(
+        "--block_form", choices=("dense", "banded"), default="dense"
+    )
     args = parser.parse_args()
-    interface = main(args.nfe_x, args.nfe_t, args.nblocks)
+    interface = main(
+        args.nfe_x, args.nfe_t, args.nblocks, block_form=args.block_form
+    )
     print("objective:", float(interface.evaluate_objective()))

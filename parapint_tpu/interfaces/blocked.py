@@ -102,6 +102,50 @@ class BatchedNLPFunctions:
 
         self.hess_lag = jax.vmap(jax.jacfwd(jax.grad(_lag, argnums=0), argnums=0))
 
+        # -- banded-mode probing closures (matrix-free KKT matvecs) --------
+        # each is batched over blocks (axis 0 of the state args) AND over a
+        # shared set of probe vectors (axis 0 of v); used by the banded
+        # per-block KKT assembly (structured.py) to recover the banded
+        # Hessian/Jacobian blocks from 2p+1 matvecs instead of
+        # materializing (N, n, n) Hessians — the matrix-free analogue of
+        # the reference's sparse AD through ASL (interface.py:474-491)
+        def _hvp(x, y_eq, y_ineq, obj_factor, p, xm, em, im, v):
+            g = lambda xx: jax.grad(_lag, argnums=0)(
+                xx, y_eq, y_ineq, obj_factor, p, xm, em, im
+            )
+            return jax.jvp(g, (x,), (v,))[1]
+
+        probe = lambda f, nstate: jax.vmap(
+            jax.vmap(f, in_axes=(None,) * nstate + (0,)),
+            in_axes=(0,) * nstate + (None,),
+        )
+        self.hvp_lag = probe(_hvp, 8)
+
+        def _jvp_eq(x, p, xm, em, v):
+            if not n_eq:
+                return jnp.zeros(0, dtype=x.dtype)
+            return jax.jvp(lambda xx: _ceq(xx, p, xm, em), (x,), (v,))[1]
+
+        def _vjp_eq(x, p, xm, em, w):
+            if not n_eq:
+                return jnp.zeros(n_x, dtype=x.dtype)
+            return jax.vjp(lambda xx: _ceq(xx, p, xm, em), x)[1](w)[0]
+
+        def _jvp_ineq(x, p, xm, im, v):
+            if not n_ineq:
+                return jnp.zeros(0, dtype=x.dtype)
+            return jax.jvp(lambda xx: _cineq(xx, p, xm, im), (x,), (v,))[1]
+
+        def _vjp_ineq(x, p, xm, im, w):
+            if not n_ineq:
+                return jnp.zeros(n_x, dtype=x.dtype)
+            return jax.vjp(lambda xx: _cineq(xx, p, xm, im), x)[1](w)[0]
+
+        self.jvp_eq = probe(_jvp_eq, 4)
+        self.vjp_eq = probe(_vjp_eq, 4)
+        self.jvp_ineq = probe(_jvp_ineq, 4)
+        self.vjp_ineq = probe(_vjp_ineq, 4)
+
         def _jtprod(x, y_eq, y_ineq, p, xm, em, im):
             """J_eq^T y_eq + J_ineq^T y_ineq via ONE reverse sweep.
 

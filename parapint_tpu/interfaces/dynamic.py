@@ -177,6 +177,7 @@ class DynamicSchurComplementInteriorPointInterface(StructuredSCInterface):
         mesh=None,
         axis_name: str = "blocks",
         kkt_dtype=None,
+        block_form: str = "dense",
     ):
         self.spec = spec
         N = spec.num_blocks
@@ -231,7 +232,12 @@ class DynamicSchurComplementInteriorPointInterface(StructuredSCInterface):
         # time-chain topology: the SC is block-tridiagonal; use the
         # scatter-free assembly (see LocalBlockKKT.assembly)
         self.sc_assembly = "chain"
-        self._finalize(mesh=mesh, axis_name=axis_name, kkt_dtype=kkt_dtype)
+        self._finalize(
+            mesh=mesh,
+            axis_name=axis_name,
+            kkt_dtype=kkt_dtype,
+            block_form=block_form,
+        )
 
     # -- dynamic-specific accessors -----------------------------------------
 

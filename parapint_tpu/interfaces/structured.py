@@ -46,9 +46,25 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
       self.x0 (N, n) initial primals
     """
 
-    def _finalize(self, mesh=None, axis_name: str = "blocks", kkt_dtype=None):
+    def _finalize(
+        self,
+        mesh=None,
+        axis_name: str = "blocks",
+        kkt_dtype=None,
+        block_form: str = "dense",
+    ):
         self.mesh = mesh
         self.axis_name = axis_name
+        # block_form "banded": per-block KKTs are assembled as banded
+        # matrices under a host-computed fill-reducing permutation (see
+        # interfaces/banded_symbolic.py) and consumed by
+        # linalg.banded_schur.BandedSchurComplementSolver — the MA27
+        # sparse-envelope analogue for PDE block families where the dense
+        # (N, nk, nk) materialization is infeasible
+        # (/root/reference/parapint/linalg/ma27_interface.py:9-256).
+        if block_form not in ("dense", "banded"):
+            raise ValueError(f"unknown block_form {block_form!r}")
+        self.block_form = block_form
         # kkt_dtype (e.g. jnp.float32): evaluate the Hessian AD sweep and
         # assemble the KKT *matrix* data in this dtype.  The matrix feeds a
         # factor_dtype=f32 factorization anyway, so nothing downstream loses
@@ -92,6 +108,9 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             border_loc[:, j, self.off_lam + j] = -lm[:, j]
         self.border_loc = jnp.asarray(border_loc)
 
+        if block_form == "banded":
+            self._banded_setup()
+
         self.n_eq_real = int(np.asarray(self.eq_mask).sum()) + int(lm.sum())
         self.n_ineq_real = int(np.asarray(self.ineq_mask).sum())
 
@@ -104,6 +123,130 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         self._extract_deltas = jax.jit(self._extract_deltas_impl)
         self._fraction_to_the_boundary = jax.jit(self._ftb_impl)
         self._apply_step = jax.jit(self._apply_step_impl)
+
+    # -- banded block form ---------------------------------------------------
+
+    def _banded_setup(self):
+        """One-time host symbolic analysis (ordering, bandwidth, probes) —
+        the analogue of MA27's symbolic factorization.  See
+        interfaces/banded_symbolic.py."""
+        from parapint_tpu.interfaces import banded_symbolic as bs
+
+        params_samples = [
+            jax.tree_util.tree_map(lambda a: jnp.asarray(a)[i], self.params)
+            for i in sorted({0, self.N - 1})
+        ]
+        Hpat, Jeq_pat, Jineq_pat = bs.block_patterns(
+            self.fns, params_samples, self.n, self.me, self.mi
+        )
+        link_pat = np.abs(np.asarray(self.link_rows)).max(axis=0) > 0
+        plan = bs.banded_plan(
+            Hpat, Jeq_pat, Jineq_pat, link_pat,
+            self.n, self.me, self.mi, self.n_link,
+        )
+        self.banded_plan = plan
+        as_j = lambda a: jnp.asarray(a)
+        self._b_perm = as_j(plan.perm.astype(np.int32))
+        self._b_iperm = as_j(plan.iperm.astype(np.int32))
+        self._b_Vx = as_j(plan.Vx)
+        self._b_Vs = as_j(plan.Vs)
+        self._b_Vyeq = as_j(plan.Vyeq)
+        self._b_Vyineq = as_j(plan.Vyineq)
+        self._b_Vlam = as_j(plan.Vlam)
+        self._b_col_idx = as_j(plan.col_idx.astype(np.int32))
+        self._b_row_idx = as_j(plan.row_idx.astype(np.int32))
+        self._b_valid = as_j(plan.valid)
+        # border strips with permuted columns (static)
+        self._border_loc_perm = self.border_loc[:, :, plan.perm]
+        # regularization diagonal masks in permuted space (N, nk):
+        # w_reg ADDS to real x-variable diagonals; c_reg SETs real
+        # constraint diagonals (assemble_block_diag semantics)
+        N, nk = self.N, self.nk
+        w_mask = np.zeros((N, nk))
+        w_mask[:, : self.n] = np.asarray(self.x_mask, dtype=np.float64)
+        c_mask = np.zeros((N, nk))
+        c_mask[:, self.off_yeq : self.off_yeq + self.me] = np.asarray(
+            self.eq_mask, dtype=np.float64
+        )
+        c_mask[:, self.off_yineq : self.off_yineq + self.mi] = np.asarray(
+            self.ineq_mask, dtype=np.float64
+        )
+        c_mask[:, self.off_lam :] = np.asarray(self.link_mask, dtype=np.float64)
+        self._b_w_mask = as_j(w_mask[:, plan.perm])
+        self._b_c_mask = as_j(c_mask[:, plan.perm])
+
+    def _banded_bands0(self, state, sigma_x, sigma_s):
+        """Per-iteration banded KKT assembly by probing: (N, p+1, nk) lower
+        bands of the permuted per-block KKTs at w_reg = c_reg = 0.
+
+        Mirrors assemble_block_diag's entries exactly, in matvec form: the
+        2p+1 probe columns are applied through HVP/JVP/VJP sweeps (no
+        (N, n, n) Hessian ever exists)."""
+        fns = self.fns
+        kd = self.kkt_dtype
+        if kd is None:
+            cast = lambda a: a
+            params = self.params
+        else:
+            cast = lambda a: (
+                a.astype(kd)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else a
+            )
+            params = self._params_kkt
+        x = cast(state.primals["blocks"])
+        yeq = cast(state.duals_eq["own"])
+        yineq = cast(state.duals_ineq)
+        dt = x.dtype
+        xm = self.x_mask
+        em = self.eq_mask.astype(dt)
+        im = self.ineq_mask.astype(dt)
+        lm = self.link_mask.astype(dt)
+        obf = jnp.full(self.N, self.obj_factor, dtype=dt)
+        Vx = self._b_Vx.astype(dt)
+        Vs = self._b_Vs.astype(dt)
+        Vyeq = self._b_Vyeq.astype(dt)
+        Vyineq = self._b_Vyineq.astype(dt)
+        Vlam = self._b_Vlam.astype(dt)
+        lrows = self.link_rows.astype(dt)
+        sx = cast(sigma_x)
+        ss = cast(sigma_s)
+
+        hv = fns.hvp_lag(x, yeq, yineq, obf, params, xm, em, im, Vx)
+        jeq_v = fns.jvp_eq(x, params, xm, em, Vx)
+        jineq_v = fns.jvp_ineq(x, params, xm, im, Vx)
+        jTeq_v = fns.vjp_eq(x, params, xm, em, Vyeq)
+        jTineq_v = fns.vjp_ineq(x, params, xm, im, Vyineq)
+
+        out_x = (
+            hv
+            + jnp.where(xm, sx, 1.0).astype(dt)[:, None, :] * Vx[None]
+            + jTeq_v
+            + jTineq_v
+            + jnp.einsum("bln,ql->bqn", lrows, Vlam, preferred_element_type=dt)
+        )
+        out_s = (
+            jnp.where(self.ineq_mask, ss, 1.0).astype(dt)[:, None, :] * Vs[None]
+            - im[:, None, :] * Vyineq[None]
+        )
+        out_yeq = jeq_v + jnp.where(self.eq_mask, 0.0, -1.0).astype(dt)[
+            :, None, :
+        ] * Vyeq[None]
+        out_yineq = (
+            jineq_v
+            - im[:, None, :] * Vs[None]
+            + jnp.where(self.ineq_mask, 0.0, -1.0).astype(dt)[:, None, :]
+            * Vyineq[None]
+        )
+        out_lam = jnp.einsum(
+            "bln,qn->bql", lrows, Vx, preferred_element_type=dt
+        ) + jnp.where(self.link_mask > 0, 0.0, -1.0).astype(dt)[:, None, :] * Vlam[None]
+        Y = jnp.concatenate([out_x, out_s, out_yeq, out_yineq, out_lam], axis=2)
+        # permute ROWS (K v is a row-space vector), then extract bands:
+        # bands0[b, e, i] = Kp[i+e, i] = Yp[b, i % q, i + e]
+        Yp = jnp.take(Y, self._b_perm, axis=2)
+        bands0 = Yp[:, self._b_col_idx, self._b_row_idx] * self._b_valid.astype(dt)
+        return bands0
 
     # -- parity accessors --------------------------------------------------
 
@@ -425,6 +568,10 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         forward sweeps of jacfwd run at f32 cost and nothing downstream
         loses f64 accuracy."""
         fns = self.fns
+        if self.block_form == "banded":
+            # never materialize (N, me, n) Jacobians in banded mode; every
+            # consumer uses the VJP dual contraction (_jtprod) instead
+            return None, None
         kd = self.kkt_dtype
         if kd is None or not hasattr(fns, "jtprod"):
             x = state.primals["blocks"]
@@ -456,8 +603,15 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         args = (x, self.params, self.x_mask)
         jac_eq, jac_ineq = self._eval_jacs(state)
         # default (f64) mode: the materialized Jacobians exist anyway, so
-        # the einsum fallback is free — skip the extra VJP sweep
-        jtlam = self._jtprod(state) if self.kkt_dtype is not None else None
+        # the einsum fallback is free — skip the extra VJP sweep.  Banded
+        # mode never materializes Jacobians or the Hessian (the KKT matrix
+        # data is probed in kkt_from_ad instead) and so always needs jtlam.
+        banded = self.block_form == "banded"
+        jtlam = (
+            self._jtprod(state)
+            if (self.kkt_dtype is not None or banded)
+            else None
+        )
         return dict(
             obj=fns.total_objective(*args),
             grad_f=fns.grad_f(*args),
@@ -466,7 +620,7 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             jtlam=jtlam,
             c_eq=fns.c_eq(*args, self.eq_mask),
             c_ineq=fns.c_ineq(*args, self.ineq_mask),
-            hess=self._eval_hess(state),
+            hess=None if banded else self._eval_hess(state),
         )
 
     def convergence_from_ad(self, state, ad, barrier, error_scaling):
@@ -625,6 +779,15 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         fns = self.fns
         x = state.primals["blocks"]
         args = (x, self.params, self.x_mask)
+        if self.block_form == "banded":
+            return self._kkt_core_banded(
+                state,
+                bounds,
+                fns.grad_f(*args),
+                fns.c_eq(*args, self.eq_mask),
+                fns.c_ineq(*args, self.ineq_mask),
+                barrier,
+            )
         hess = self._eval_hess(state)
         jac_eq, jac_ineq = self._eval_jacs(state)
         return self._kkt_core(
@@ -638,6 +801,22 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
             fns.c_ineq(*args, self.ineq_mask),
             barrier,
             jtlam=self._jtprod(state) if self.kkt_dtype is not None else None,
+        )
+
+    def _kkt_core_banded(self, state, bounds, grad_f, c_eq, c_ineq, barrier):
+        """Banded-mode (data, rhs): matrix data is the (N, p+1, nk) band
+        store; the rhs uses the exact VJP dual contraction (no Jacobians)."""
+        return self._kkt_core(
+            state,
+            bounds,
+            None,
+            grad_f,
+            None,
+            None,
+            c_eq,
+            c_ineq,
+            barrier,
+            jtlam=self._jtprod(state),
         )
 
     def _kkt_core(
@@ -660,13 +839,20 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         # matrix data in kkt_dtype (see _finalize); the rhs below stays f64
         kd = self.kkt_dtype
         mcast = (lambda a: a) if kd is None else (lambda a: a.astype(kd))
-        data = BlockKKTData(
-            hess=self._shard_blocks(mcast(hess)),
-            jac_eq=self._shard_blocks(mcast(jac_eq)),
-            jac_ineq=self._shard_blocks(mcast(jac_ineq)),
-            sigma_x=self._shard_blocks(mcast(sigma_x)),
-            sigma_s=self._shard_blocks(mcast(sigma_s)),
-        )
+        if self.block_form == "banded":
+            # (N, p+1, nk) banded matrix data by probing — no (N, n, n)
+            # Hessian or (N, me, n) Jacobian is ever materialized
+            data = self._shard_blocks(
+                self._banded_bands0(state, sigma_x, sigma_s)
+            )
+        else:
+            data = BlockKKTData(
+                hess=self._shard_blocks(mcast(hess)),
+                jac_eq=self._shard_blocks(mcast(jac_eq)),
+                jac_ineq=self._shard_blocks(mcast(jac_ineq)),
+                sigma_x=self._shard_blocks(mcast(sigma_x)),
+                sigma_s=self._shard_blocks(mcast(sigma_s)),
+            )
 
         rhs_x = -(
             self._grad_lag_primals(state, jac_eq, jac_ineq, grad_f, jtlam)
@@ -694,6 +880,28 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         )
 
     def _assemble_kkt_impl(self, data, w_reg, c_reg):
+        if self.block_form == "banded":
+            from parapint_tpu.linalg.banded_schur import BandedLocalBlockKKT
+
+            dt = data.dtype
+            # w_reg ADDS to real x-var diagonals; c_reg SETs real
+            # constraint diagonals (zero in the probed baseline) — the
+            # banded image of assemble_block_diag's semantics
+            bands = data.at[:, 0, :].add(
+                jnp.asarray(w_reg, dtype=dt) * self._b_w_mask.astype(dt)
+                - jnp.asarray(c_reg, dtype=dt) * self._b_c_mask.astype(dt)
+            )
+            q = jnp.asarray(c_reg, dtype=dt) * jnp.eye(self.ncv, dtype=dt)
+            return BandedLocalBlockKKT(
+                sym_bands=self._shard_blocks(bands),
+                border_loc=self._shard_blocks(self._border_loc_perm.astype(dt)),
+                row_idx=self._shard_blocks(self.row_idx),
+                q=q,
+                mask=jnp.ones(self.N, dtype=dt),
+                perm=self._b_perm,
+                iperm=self._b_iperm,
+                assembly=self.sc_assembly,
+            )
         diag = assemble_block_diag(
             data,
             self.eq_mask,

@@ -20,6 +20,10 @@ from parapint_tpu.linalg.sharded_schur import ShardedSchurComplementSolver
 from parapint_tpu.linalg.host_bk import HostBKSolver
 from parapint_tpu.linalg.pcg_schur import PCGSchurComplementSolver
 from parapint_tpu.linalg.tridiag import BlockTridiag, BlockTridiagSolver
+from parapint_tpu.linalg.banded_schur import (
+    BandedLocalBlockKKT,
+    BandedSchurComplementSolver,
+)
 from parapint_tpu.linalg.condensed import CondensedLSQKKT, CondensedLSQSolver
 
 __all__ = [
@@ -37,6 +41,8 @@ __all__ = [
     "PCGSchurComplementSolver",
     "BlockTridiag",
     "BlockTridiagSolver",
+    "BandedLocalBlockKKT",
+    "BandedSchurComplementSolver",
     "CondensedLSQKKT",
     "CondensedLSQSolver",
 ]

@@ -1,0 +1,547 @@
+"""Banded per-block factorization — the MA27 capability envelope for PDE
+block families.
+
+The reference factors *arbitrary sparse* symmetric-indefinite diagonal
+blocks with multifrontal MA27
+(/root/reference/parapint/linalg/ma27_interface.py:9-256), so its per-block
+dimension is bounded by sparsity, not nk^2.  The dense batched LDL^T of
+:mod:`parapint_tpu.linalg.schur` materializes (N, nk, nk) blocks — memory-
+and flop-infeasible for the reference's own flagship scaling knob (Burgers
+``--nfe_x`` beyond ~100, /root/reference/parapint/examples/burgers.py:14-20).
+
+The TPU-native answer is not a multifrontal code (pointer-chasing
+elimination trees are hostile to the MXU); it is to exploit the structure
+the PDE families actually have: under a bandwidth-reducing, constraint-
+after-its-variables ordering (computed once per problem on the host, see
+:mod:`parapint_tpu.interfaces.structured` banded mode), each per-block KKT
+is *banded* with half-bandwidth p << nk.  A symmetric banded matrix tiled
+into ts x ts tiles (ts >= p) IS block-tridiagonal, and a block-tridiagonal
+symmetric-indefinite matrix factors by a batched block-Thomas LDL^T sweep:
+
+- m = nk/ts sequential tile steps, each a *batched* (N, ts, ts) LDL^T
+  (the existing fused factor kernels) plus two batched MXU matmuls —
+  O(N * nk * ts^2) total work and O(N * nk * ts) memory versus the dense
+  path's O(N * nk^3) / O(N * nk^2).
+- The sweep is sequential in tiles (unlike the coupling solver's cyclic
+  reduction) because the per-block KKT is INDEFINITE: the ordering
+  guarantees every constraint row is eliminated after its variables, so
+  each tile's pivots see the accumulated Schur complement of everything
+  before it — eliminating even tiles independently (cyclic reduction)
+  would factor tiles whose standalone diagonal is structurally singular
+  (a constraint row whose variables live in the previous tile).
+- Inertia is EXACT by Haynsworth additivity over the sequential tile Schur
+  complements — the IP inertia-correction contract is identical to the
+  dense factorization's.
+
+Everything downstream (Schur-complement formation over the coupling
+border, chain-topology tile assembly, adaptive iterative refinement) is
+shared with the dense solver's machinery.
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from parapint_tpu.linalg.base import LinearSolver
+from parapint_tpu.linalg.dense import DenseLDLSolver
+from parapint_tpu.linalg.results import LinearSolverResults, LinearSolverStatus
+from parapint_tpu.linalg.schur import (
+    BlockRhs,
+    _assemble_sc,
+    _border_apply_chain,
+    _border_apply_local,
+    _border_T_apply_chain,
+    _border_T_apply_local,
+    _chain_border_ok,
+    _chain_tiles,
+    _factor_blocks_winv,
+)
+from parapint_tpu.linalg.tridiag import _winv_to_inverse
+from parapint_tpu.ops.banded import (
+    pad_sym_band,
+    sym_band_to_tridiag_tiles,
+    sym_banded_matvec,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedLocalBlockKKT:
+    """Block-bordered KKT whose diagonal blocks are symmetric BANDED
+    matrices in a precomputed fill-reducing permutation.
+
+    sym_bands:  (N, p+1, nk) lower bands of the PERMUTED per-block KKTs
+                (sym_bands[b, e, i] = Kp_b[i+e, i])
+    border_loc: (N, L, nk) local border rows with PERMUTED columns
+    row_idx:    (N, L) int32 global SC row of each local row
+    q:          (nc, nc) coupling block
+    mask:       (N,) 1.0 for logical blocks
+    perm:       (nk,) int32 — permuted index i holds original index perm[i]
+    iperm:      (nk,) int32 — inverse permutation
+    assembly:   SC topology, as in LocalBlockKKT
+    """
+
+    sym_bands: jax.Array
+    border_loc: jax.Array
+    row_idx: jax.Array
+    q: jax.Array
+    mask: jax.Array
+    perm: jax.Array
+    iperm: jax.Array
+    assembly: str = dataclasses.field(metadata=dict(static=True), default="scatter")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ThomasFactor:
+    """Batched block-Thomas LDL^T factorization of N block-tridiagonal
+    matrices: explicit tile inverses of the sequentially Schur-complemented
+    diagonal tiles, plus the original superdiagonal tiles."""
+
+    tinv: jax.Array  # (N, m, ts, ts)
+    upper: jax.Array  # (N, m-1, ts, ts)
+    inertia: jax.Array  # (3,) int32 (masked sum over blocks and tiles)
+    status: jax.Array  # () int32
+
+
+def thomas_factor_batched(
+    diag_tiles: jax.Array,
+    upper_tiles: jax.Array,
+    mask: jax.Array,
+    zero_tol: float = 0.0,
+    factor_dtype=None,
+    tile_block_size: int = 64,
+) -> ThomasFactor:
+    """Factor N block-tridiagonal matrices by a sequential tile sweep.
+
+    diag_tiles (N, m, ts, ts), upper_tiles (N, m-1, ts, ts); each step
+    factors the batched (N, ts, ts) Schur-complemented diagonal tile with
+    the fused LDL^T + W kernel and carries U^T D'^{-1} U to the next tile.
+    """
+    N, m, ts, _ = diag_tiles.shape
+    dt = diag_tiles.dtype
+
+    def tile_step(carry, inputs):
+        C = carry  # (N, ts, ts) Schur contribution from the previous tile
+        D, U = inputs  # (N, ts, ts) diag tile, upper tile to the NEXT tile
+        W, d, s, inert, stat = _factor_blocks_winv(
+            D - C, mask, tile_block_size, zero_tol, factor_dtype
+        )
+        tinv = _winv_to_inverse(W, d, s, ts).astype(dt)
+        tu = jnp.einsum("bij,bjk->bik", tinv, U, preferred_element_type=dt)
+        C_next = jnp.einsum("bji,bjk->bik", U, tu, preferred_element_type=dt)
+        return C_next, (tinv, inert, stat)
+
+    # scan over the tile axis; last tile gets a zero upper
+    d_seq = jnp.swapaxes(diag_tiles, 0, 1)  # (m, N, ts, ts)
+    u_seq = jnp.concatenate(
+        [jnp.swapaxes(upper_tiles, 0, 1), jnp.zeros((1, N, ts, ts), dtype=dt)],
+        axis=0,
+    )
+    zero_c = jnp.zeros((N, ts, ts), dtype=dt)
+    _, (tinv_seq, inert_seq, stat_seq) = lax.scan(
+        tile_step, zero_c, (d_seq, u_seq)
+    )
+    return ThomasFactor(
+        tinv=jnp.swapaxes(tinv_seq, 0, 1),
+        upper=upper_tiles,
+        inertia=jnp.sum(inert_seq, axis=0),
+        status=jnp.max(stat_seq),
+    )
+
+
+def thomas_solve_batched(fact: ThomasFactor, r: jax.Array) -> jax.Array:
+    """Solve the N block-tridiagonal systems; r (N, m, ts) or (N, m, ts, k).
+
+    Forward sweep  z_i = r_i - U_{i-1}^T Tinv_{i-1} z_{i-1},
+    backward sweep x_i = Tinv_i z_i - Tinv_i U_i x_{i+1}.
+    """
+    vec = r.ndim == 3
+    if vec:
+        r = r[..., None]
+    N, m, ts, k = r.shape
+    dt = r.dtype
+    tinv = jnp.swapaxes(fact.tinv, 0, 1).astype(dt)  # (m, N, ts, ts)
+    upper = jnp.swapaxes(fact.upper, 0, 1).astype(dt)  # (m-1, N, ts, ts)
+    u_prev = jnp.concatenate(
+        [jnp.zeros((1, N, ts, ts), dtype=dt), upper], axis=0
+    )  # u_prev[i] = U_{i-1}
+    r_seq = jnp.swapaxes(r, 0, 1)  # (m, N, ts, k)
+
+    def fwd(carry, inputs):
+        tz_prev = carry  # Tinv_{i-1} z_{i-1}
+        ri, Ti, Up = inputs
+        z = ri - jnp.einsum("bji,bjk->bik", Up, tz_prev, preferred_element_type=dt)
+        tz = jnp.einsum("bij,bjk->bik", Ti, z, preferred_element_type=dt)
+        return tz, tz
+
+    zero = jnp.zeros((N, ts, k), dtype=dt)
+    _, tz_seq = lax.scan(fwd, zero, (r_seq, tinv, u_prev))
+
+    def bwd(carry, inputs):
+        x_next = carry
+        tzi, Ti, Ui = inputs  # Ui = U_i (to the next tile)
+        x = tzi - jnp.einsum(
+            "bij,bjk->bik",
+            Ti,
+            jnp.einsum("bij,bjk->bik", Ui, x_next, preferred_element_type=dt),
+            preferred_element_type=dt,
+        )
+        return x, x
+
+    u_next = jnp.concatenate(
+        [upper, jnp.zeros((1, N, ts, ts), dtype=dt)], axis=0
+    )
+    _, x_rev = lax.scan(
+        bwd, zero, (tz_seq, tinv, u_next), reverse=True
+    )
+    x = jnp.swapaxes(x_rev, 0, 1)  # (N, m, ts, k)
+    return x[..., 0] if vec else x
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedSchurFactor:
+    """Factorization state of :class:`BandedSchurComplementSolver`."""
+
+    thomas: ThomasFactor
+    sym_bands: object  # (N, p+1, nk) kept for the refinement matvec (or None)
+    q: object  # (nc, nc) (or None)
+    border_loc: jax.Array  # (N, L, nk) permuted columns
+    row_idx: jax.Array
+    perm: jax.Array
+    iperm: jax.Array
+    sc_fact: object
+    inertia: jax.Array
+    status: jax.Array
+    nk: int = dataclasses.field(metadata=dict(static=True))
+    nc: int = dataclasses.field(metadata=dict(static=True))
+    ts: int = dataclasses.field(metadata=dict(static=True))
+    assembly: str = dataclasses.field(metadata=dict(static=True), default="scatter")
+
+
+def _banded_block_matvec(sym_bands, x, dtype=None):
+    """K_b x_b per block via the banded stencil; x (N, nk) PERMUTED."""
+    if dtype is not None:
+        sym_bands = sym_bands.astype(dtype)
+        x = x.astype(dtype)
+    return jax.vmap(sym_banded_matvec)(sym_bands, x)
+
+
+class BandedSchurComplementSolver(LinearSolver):
+    """Schur-complement solver with BANDED per-block factorization.
+
+    Consumes a :class:`BandedLocalBlockKKT` (produced by the structured
+    interfaces in ``block_form="banded"`` mode).  Per-block memory is
+    O(nk * ts) and per-block factor work O(nk * ts^2) — the TPU-native
+    equivalent of the reference's MA27 sparse capability envelope for
+    banded (PDE-discretization) block families.
+
+    ``rhs``/solutions use the ORIGINAL variable ordering (BlockRhs, as the
+    dense solvers); permutation happens internally.
+    """
+
+    def __init__(
+        self,
+        schur_complement_solver: Optional[LinearSolver] = None,
+        tile_size: Optional[int] = None,
+        zero_tol: float = 0.0,
+        factor_dtype=None,
+        refine_steps: Optional[int] = None,
+        refine_trigger: float = 1e-5,
+        refine_max_passes: int = 8,
+    ):
+        self.sc_solver = (
+            schur_complement_solver
+            if schur_complement_solver is not None
+            else DenseLDLSolver(zero_tol=zero_tol, refine_steps=0)
+        )
+        self.tile_size = tile_size
+        self.zero_tol = zero_tol
+        self.factor_dtype = factor_dtype
+        self.adaptive_refine = refine_steps is None
+        self.refine_steps = 1 if refine_steps is None else refine_steps
+        self.refine_trigger = refine_trigger
+        self.refine_max_passes = refine_max_passes
+
+    # -- factorization ------------------------------------------------------
+
+    def _tiles(self, kkt: BandedLocalBlockKKT):
+        """(diag_tiles, upper_tiles, ts, nk_pad) from the banded store."""
+        N, pp1, nk = kkt.sym_bands.shape
+        p = pp1 - 1
+        ts = self.tile_size if self.tile_size is not None else max(8, p)
+        if ts < p:
+            raise ValueError(f"tile_size {ts} < half-bandwidth {p}")
+        n_extra = (-nk) % ts
+        nk_pad = nk + n_extra
+        if n_extra:
+            pad = jnp.zeros((N, pp1, n_extra), dtype=kkt.sym_bands.dtype)
+            pad = pad.at[:, 0, :].set(1.0)
+            bands = jnp.concatenate([kkt.sym_bands, pad], axis=2)
+        else:
+            bands = kkt.sym_bands
+        diag_t, upper_t = jax.vmap(
+            lambda sb: sym_band_to_tridiag_tiles(sb, ts)
+        )(bands)
+        return diag_t, upper_t, ts, nk_pad
+
+    def symbolic(self, kkt: BandedLocalBlockKKT) -> LinearSolverResults:
+        N, pp1, nk = kkt.sym_bands.shape
+        if kkt.border_loc.shape[0] != N or kkt.border_loc.shape[2] != nk:
+            raise ValueError(
+                f"border_loc shape {kkt.border_loc.shape} inconsistent with "
+                f"sym_bands {kkt.sym_bands.shape}"
+            )
+        return LinearSolverResults(status=LinearSolverStatus.successful)
+
+    def _use_tridiag_sc(self, kkt) -> bool:
+        from parapint_tpu.linalg.tridiag import BlockTridiagSolver
+
+        if not isinstance(self.sc_solver, BlockTridiagSolver):
+            return False
+        if kkt.assembly != "chain":
+            return False
+        ns = kkt.border_loc.shape[1] // 2
+        nc = kkt.q.shape[-1]
+        return ns > 0 and nc > 0 and nc % ns == 0
+
+    def numeric(self, kkt: BandedLocalBlockKKT) -> BandedSchurFactor:
+        from parapint_tpu.linalg.tridiag import BlockTridiag, extract_tridiag
+
+        N, pp1, nk = kkt.sym_bands.shape
+        nc = kkt.q.shape[-1]
+        tridiag = self._use_tridiag_sc(kkt)
+        ns = kkt.border_loc.shape[1] // 2
+        with jax.named_scope("banded_sc.factor_blocks"):
+            diag_t, upper_t, ts, nk_pad = self._tiles(kkt)
+            thomas = thomas_factor_batched(
+                diag_t,
+                upper_t,
+                kkt.mask,
+                zero_tol=self.zero_tol,
+                factor_dtype=self.factor_dtype,
+            )
+        with jax.named_scope("banded_sc.form_sc"):
+            # V = K^{-1} A^T over the L border columns (multi-RHS sweep)
+            A = kkt.border_loc  # (N, L, nk)
+            L = A.shape[1]
+            At = jnp.swapaxes(A, 1, 2).astype(diag_t.dtype)  # (N, nk, L)
+            if nk_pad != nk:
+                At = jnp.pad(At, ((0, 0), (0, nk_pad - nk), (0, 0)))
+            V = thomas_solve_batched(
+                thomas, At.reshape(N, nk_pad // ts, ts, L)
+            ).reshape(N, nk_pad, L)[:, :nk]
+            S_loc = jnp.einsum(
+                "bli,bik->blk",
+                A.astype(V.dtype),
+                V,
+                preferred_element_type=V.dtype,
+            )
+            S_loc = S_loc * kkt.mask[:, None, None].astype(V.dtype)
+            if tridiag:
+                dt_c, ut_full = _chain_tiles(S_loc, nc)
+                q_tri = extract_tridiag(kkt.q.astype(V.dtype), ns)
+                sc = BlockTridiag(
+                    diag=q_tri.diag - dt_c, upper=q_tri.upper - ut_full[:-1]
+                )
+            else:
+                sc = kkt.q.astype(V.dtype) - _assemble_sc(
+                    S_loc, kkt.row_idx, nc, kkt.assembly
+                )
+        with jax.named_scope("banded_sc.factor_sc"):
+            sc_fact = self.sc_solver.numeric(sc)
+        sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
+        # structural identity padding rows contribute +1 pivots each —
+        # subtract them so the inertia matches the logical dimension
+        n_extra = nk_pad - nk
+        n_logical = jnp.sum(kkt.mask).astype(jnp.int32)
+        pad_pos = jnp.int32(n_extra) * n_logical
+        inertia = thomas.inertia + jnp.stack([sc_pos, sc_neg, sc_zero])
+        inertia = inertia.at[0].add(-pad_pos)
+        status = jnp.maximum(thomas.status, self.sc_solver.status(sc_fact))
+        keep = True
+        return BandedSchurFactor(
+            thomas=thomas,
+            sym_bands=kkt.sym_bands if keep else None,
+            q=kkt.q if keep else None,
+            border_loc=kkt.border_loc,
+            row_idx=kkt.row_idx,
+            perm=kkt.perm,
+            iperm=kkt.iperm,
+            sc_fact=sc_fact,
+            inertia=inertia,
+            status=status,
+            nk=nk,
+            nc=nc,
+            ts=ts,
+            assembly=kkt.assembly,
+        )
+
+    # -- solves -------------------------------------------------------------
+
+    def _apply_blocks(self, fact: BandedSchurFactor, b):
+        """K_b^{-1} b_b per block; b (N, nk) PERMUTED -> (N, nk) permuted."""
+        N, nk = b.shape
+        ts = fact.ts
+        nk_pad = -(-nk // ts) * ts
+        dt = fact.thomas.tinv.dtype
+        bp = b.astype(dt)
+        if nk_pad != nk:
+            bp = jnp.pad(bp, ((0, 0), (0, nk_pad - nk)))
+        x = thomas_solve_batched(
+            fact.thomas, bp.reshape(N, nk_pad // ts, ts)
+        ).reshape(N, nk_pad)
+        return x[:, :nk]
+
+    def _solve_once(self, fact: BandedSchurFactor, rhs: BlockRhs) -> BlockRhs:
+        """One SC solve in PERMUTED block coordinates."""
+        chain = _chain_border_ok(fact.assembly, fact.border_loc, fact.nc)
+        with jax.named_scope("banded_sc.block_solve"):
+            v = self._apply_blocks(fact, rhs.blocks)
+            if chain:
+                sc_rhs = rhs.coupling - _border_apply_chain(
+                    fact.border_loc, v, fact.nc
+                )
+            else:
+                sc_rhs = rhs.coupling - _border_apply_local(
+                    fact.border_loc, fact.row_idx, v, fact.nc
+                )
+        with jax.named_scope("banded_sc.sc_back_solve"):
+            y = self.sc_solver.solve(fact.sc_fact, sc_rhs)
+        with jax.named_scope("banded_sc.back_solve"):
+            if chain:
+                rhs2 = rhs.blocks - _border_T_apply_chain(fact.border_loc, y)
+            else:
+                rhs2 = rhs.blocks - _border_T_apply_local(
+                    fact.border_loc, fact.row_idx, y
+                )
+            x = self._apply_blocks(fact, rhs2)
+        return BlockRhs(blocks=x, coupling=y)
+
+    def _kkt_matvec(self, fact: BandedSchurFactor, x: BlockRhs, dtype=None):
+        """K @ x (permuted block coords) for iterative refinement."""
+        bands = fact.sym_bands
+        q = fact.q
+        xb, xc = x.blocks, x.coupling
+        border_loc = fact.border_loc
+        if dtype is not None:
+            bands = bands.astype(dtype)
+            q = q.astype(dtype)
+            xb = xb.astype(dtype)
+            xc = xc.astype(dtype)
+            border_loc = border_loc.astype(dtype)
+        bx = _banded_block_matvec(bands, xb)
+        if _chain_border_ok(fact.assembly, border_loc, fact.nc):
+            bx = bx + _border_T_apply_chain(border_loc, xc)
+            cy = _border_apply_chain(border_loc, xb, fact.nc)
+        else:
+            bx = bx + _border_T_apply_local(border_loc, fact.row_idx, xc)
+            cy = _border_apply_local(border_loc, fact.row_idx, xb, fact.nc)
+        cy = cy + jnp.matmul(q, xc, preferred_element_type=cy.dtype)
+        return BlockRhs(blocks=bx, coupling=cy)
+
+    def _refine_probe(self, fact, rhs, x, trigger):
+        """f32 residual check, same semantics as the dense solver's
+        (schur.py _refine_probe) with the banded matvec."""
+        f32 = jnp.float32
+        kx = self._kkt_matvec(fact, x, dtype=f32)
+        afact = dataclasses.replace(
+            fact,
+            sym_bands=jnp.abs(fact.sym_bands),
+            q=jnp.abs(fact.q),
+            border_loc=jnp.abs(fact.border_loc),
+        )
+        ax = BlockRhs(blocks=jnp.abs(x.blocks), coupling=jnp.abs(x.coupling))
+        kabs = self._kkt_matvec(afact, ax, dtype=f32)
+        wd = rhs.blocks.dtype
+        rb = rhs.blocks.astype(f32).astype(wd) - kx.blocks.astype(wd)
+        rc = rhs.coupling.astype(f32).astype(wd) - kx.coupling.astype(wd)
+        rn2 = jnp.sum(rb * rb) + jnp.sum(rc * rc)
+        bn2 = jnp.sum(rhs.blocks.astype(wd) ** 2) + jnp.sum(
+            rhs.coupling.astype(wd) ** 2
+        )
+        fn2 = jnp.sum(kabs.blocks.astype(wd) ** 2) + jnp.sum(
+            kabs.coupling.astype(wd) ** 2
+        )
+        eps = 32.0 * np.finfo(np.float32).eps
+        floor2 = (eps * eps) * fn2
+        bad = jnp.logical_not(jnp.isfinite(rn2))
+        return jnp.logical_or(
+            bad,
+            rn2 > jnp.maximum((trigger * trigger) * jnp.maximum(1.0, bn2), floor2),
+        )
+
+    def _solve_refined(self, fact: BandedSchurFactor, rhs: BlockRhs):
+        # permute the rhs blocks into the banded ordering once
+        rp = BlockRhs(
+            blocks=jnp.take_along_axis(
+                rhs.blocks, jnp.broadcast_to(fact.perm[None, :], rhs.blocks.shape), axis=1
+            ),
+            coupling=rhs.coupling,
+        )
+
+        def up(b: BlockRhs) -> BlockRhs:
+            return BlockRhs(
+                blocks=b.blocks.astype(rp.blocks.dtype),
+                coupling=b.coupling.astype(rp.coupling.dtype),
+            )
+
+        def refine_pass(x: BlockRhs) -> BlockRhs:
+            kx = self._kkt_matvec(fact, x)
+            r = BlockRhs(
+                blocks=rp.blocks - kx.blocks, coupling=rp.coupling - kx.coupling
+            )
+            dx = up(self._solve_once(fact, r))
+            return BlockRhs(
+                blocks=x.blocks + dx.blocks, coupling=x.coupling + dx.coupling
+            )
+
+        x = up(self._solve_once(fact, rp))
+        if self.adaptive_refine:
+            def cond(c):
+                _, it, need = c
+                return jnp.logical_and(need, it < self.refine_max_passes)
+
+            def body(c):
+                xx, it, _ = c
+                xx = refine_pass(xx)
+                return xx, it + 1, self._refine_probe(fact, rp, xx, self.refine_trigger)
+
+            need0 = self._refine_probe(fact, rp, x, self.refine_trigger)
+            x, _, need = lax.while_loop(cond, body, (x, jnp.int32(0), need0))
+            ok = jnp.logical_not(need)
+        else:
+            for _ in range(self.refine_steps):
+                x = refine_pass(x)
+            ok = jnp.asarray(True)
+        # un-permute the block solution
+        xb = jnp.take_along_axis(
+            x.blocks, jnp.broadcast_to(fact.iperm[None, :], x.blocks.shape), axis=1
+        )
+        return BlockRhs(blocks=xb, coupling=x.coupling), ok
+
+    def solve(self, fact: BandedSchurFactor, rhs: BlockRhs) -> BlockRhs:
+        return self._solve_refined(fact, rhs)[0]
+
+    def solve_with_status(self, fact: BandedSchurFactor, rhs: BlockRhs):
+        x, ok = self._solve_refined(fact, rhs)
+        status = jnp.maximum(
+            self.status(fact),
+            jnp.where(
+                ok,
+                jnp.int32(LinearSolverStatus.successful),
+                jnp.int32(LinearSolverStatus.error),
+            ),
+        )
+        return x, status
+
+    def inertia(self, fact: BandedSchurFactor):
+        return fact.inertia[0], fact.inertia[1], fact.inertia[2]
+
+    def status(self, fact: BandedSchurFactor) -> jax.Array:
+        return fact.status

@@ -92,6 +92,31 @@ def banded_btb(bands: jax.Array) -> jax.Array:
     return out
 
 
+def sym_banded_matvec(sym_bands: jax.Array, x: jax.Array) -> jax.Array:
+    """G @ x for a symmetric banded matrix stored as lower bands.
+
+    sym_bands: (p+1, n) with sym_bands[e, i] = G[i+e, i]; x: (n,) or (n, k).
+    An O(n * p) stencil — the refinement matvec of the banded per-block
+    factorization path (no dense (n, n) operand ever exists).
+    """
+    pp1, n = sym_bands.shape
+    p = pp1 - 1
+    vec = x.ndim == 1
+    if vec:
+        x = x[:, None]
+    ids = jnp.arange(n)
+    out = sym_bands[0][:, None] * x
+    for e in range(1, p + 1):
+        band = sym_bands[e][:, None]  # G[i+e, i]
+        # lower part: y[i+e] += G[i+e, i] x[i]  ->  y[j] += band[j-e] x[j-e]
+        valid_lo = (ids >= e)[:, None]
+        out = out + jnp.where(valid_lo, jnp.roll(band * x, e, axis=0), 0.0)
+        # upper part: y[i] += G[i+e, i] x[i+e]
+        valid_hi = (ids + e < n)[:, None]
+        out = out + jnp.where(valid_hi, band * jnp.roll(x, -e, axis=0), 0.0)
+    return out[:, 0] if vec else out
+
+
 def sym_band_to_tridiag_tiles(sym_bands: jax.Array, ts: int):
     """Tile a symmetric banded matrix (half-bandwidth p <= ts) into
     block-tridiagonal ts x ts tiles.

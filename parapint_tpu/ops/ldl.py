@@ -136,25 +136,72 @@ def _panel_factor(Akk: jax.Array) -> jax.Array:
     return _ldl_unblocked(Akk)
 
 
-def unit_lower_inv(L: jax.Array) -> jax.Array:
-    """Inverse of a unit lower-triangular matrix via Neumann doubling.
+_SUBST_BASE = 16
 
-    L = I - N with N strictly lower (nilpotent, N^n = 0), so
-    L^{-1} = sum_k N^k, accumulated by squaring:
-    S_{k+1} = S_k + M_k S_k, M_{k+1} = M_k^2 with M_0 = N, S_0 = I + N.
-    ceil(log2(n)) doubling steps, each two matmuls — everything on the MXU,
-    no sequential substitution.  This is the TPU-native alternative to
-    XLA's blocked triangular_solve, which is latency-bound on TPU.
+
+def _unit_lower_inv_subst(L: jax.Array) -> jax.Array:
+    """Exact unrolled forward substitution: L^{-1} for unit lower-triangular
+    L of SMALL static size (..., r, r), any leading batch dims.
+
+    Row i of W solves L W = I sequentially: w_i = e_i - L[i, :i] @ W[:i].
+    Backward stable (unlike a truncated-series evaluation, each step only
+    combines already-exact rows with the row's own L entries); r steps of
+    tiny contractions — negligible next to the surrounding matmuls.
+    """
+    r = L.shape[-1]
+    eye = jnp.eye(r, dtype=L.dtype)
+    batch = L.shape[:-2]
+    rows = []
+    for i in range(r):
+        w = jnp.broadcast_to(eye[i], batch + (r,))
+        if i:
+            Wprev = jnp.stack(rows, axis=-2)  # (..., i, r)
+            li = L[..., i, :i]
+            w = w - jnp.einsum(
+                "...j,...jk->...k", li, Wprev, preferred_element_type=L.dtype
+            )
+        rows.append(w)
+    return jnp.stack(rows, axis=-2)
+
+
+def unit_lower_inv(L: jax.Array) -> jax.Array:
+    """Inverse of a unit lower-triangular matrix: static-halving block
+    recursion with an exact-substitution base case.
+
+        [L11  0 ]^-1   [ W11           0  ]
+        [L21 L22]    = [-W22 L21 W11  W22 ]
+
+    All work above the (16-wide) base is MXU matmuls — the TPU-native
+    alternative to XLA's blocked triangular_solve (latency-bound on TPU).
+
+    STABILITY NOTE (round-5 fix): the previous implementation summed the
+    Neumann series I + N + N^2 + ... by repeated squaring.  That is exact
+    algebra (N nilpotent) but numerically UNSTABLE whenever intermediate
+    powers grow before annihilating: on the chain-coupled Schur
+    complements of the Burgers family, ||N^64|| reached ~1e20 while
+    ||L^{-1}|| ~ 4.5, so the doubling form lost ALL significant digits
+    (observed: 1e98-scale pivots downstream, cond(S) only 2e4).  Random
+    SPD test matrices have decaying powers and never exposed this.  The
+    block recursion only multiplies by computed inverses of sub-blocks —
+    error growth is bounded by cond-like factors, the standard
+    GPU/TPU-BLAS triangular-inversion tradeoff.
     """
     n = L.shape[-1]
-    N = -jnp.tril(L, -1)
-    S = jnp.eye(n, dtype=L.dtype) + N
-    M = N
-    steps = max(1, (n - 1).bit_length())
-    for i in range(steps - 1):
-        M = jnp.matmul(M, M, preferred_element_type=L.dtype)
-        S = S + jnp.matmul(M, S, preferred_element_type=L.dtype)
-    return S
+    if n <= _SUBST_BASE:
+        return _unit_lower_inv_subst(L)
+    h = max(_SUBST_BASE, ((n // 2 + 7) // 8) * 8)
+    if h >= n:
+        h = n - _SUBST_BASE
+    W11 = unit_lower_inv(L[:h, :h])
+    W22 = unit_lower_inv(L[h:, h:])
+    W21 = -jnp.matmul(
+        W22,
+        jnp.matmul(L[h:, :h], W11, preferred_element_type=L.dtype),
+        preferred_element_type=L.dtype,
+    )
+    top = jnp.concatenate([W11, jnp.zeros((h, n - h), dtype=L.dtype)], axis=1)
+    bottom = jnp.concatenate([W21, W22], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
 
 
 def ruiz_scale(A: jax.Array, iters: int = 3) -> jax.Array:
@@ -483,17 +530,25 @@ def _bmm(a, b):
 
 
 def _unit_lower_inv_b(L: jax.Array) -> jax.Array:
-    """Batched Neumann-doubling inverse of unit lower-triangular (N, b, b)."""
+    """Batched inverse of unit lower-triangular (N, b, b): static-halving
+    recursion over an exact-substitution base (see unit_lower_inv's
+    stability note — the former batched Neumann doubling had the same
+    instability)."""
     n = L.shape[-1]
-    Nm = -jnp.tril(L, -1)
-    S = jnp.eye(n, dtype=L.dtype)[None] + Nm
-    M = Nm
-    steps = max(1, (n - 1).bit_length())
-    for _ in range(steps - 1):
-        M2 = _bmm(M, M)
-        S = S + _bmm(M2, S)
-        M = M2
-    return S
+    if n <= _SUBST_BASE:
+        return _unit_lower_inv_subst(L)
+    h = max(_SUBST_BASE, ((n // 2 + 7) // 8) * 8)
+    if h >= n:
+        h = n - _SUBST_BASE
+    W11 = _unit_lower_inv_b(L[:, :h, :h])
+    W22 = _unit_lower_inv_b(L[:, h:, h:])
+    W21 = -_bmm(W22, _bmm(L[:, h:, :h], W11))
+    Nb = L.shape[0]
+    top = jnp.concatenate(
+        [W11, jnp.zeros((Nb, h, n - h), dtype=L.dtype)], axis=2
+    )
+    bottom = jnp.concatenate([W21, W22], axis=2)
+    return jnp.concatenate([top, bottom], axis=1)
 
 
 def _use_slab_kernel(b: int) -> bool:
