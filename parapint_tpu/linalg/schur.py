@@ -163,6 +163,11 @@ class SchurFactor:
     # first global coupling group of this shard's blocks (sharded chain
     # path; None = 0)
     group_offset: object = None
+    # full-precision W kept alongside a reduced-storage block_W when the
+    # bf16 auto-gate is active (w_store_dtype + w_auto_gate): the adaptive
+    # refinement retries a stalled solve with this W instead of reporting
+    # an error.  None when gating is off.
+    block_W_hi: object = None
 
 
 def pad_block_count(kkt, multiple: int):
@@ -686,6 +691,7 @@ class SchurComplementSolver(LinearSolver):
         refine_trigger: float = 1e-5,
         refine_max_passes: int = 8,
         w_store_dtype=None,
+        w_auto_gate: bool = True,
     ):
         self.sc_solver = (
             schur_complement_solver
@@ -715,6 +721,15 @@ class SchurComplementSolver(LinearSolver):
         # the Burgers benchmark family converges with objective parity at
         # +1 IP iteration).
         self.w_store_dtype = w_store_dtype
+        # w_auto_gate (round-5, with w_store_dtype set + adaptive
+        # refinement): keep the pre-cast W alongside; when the adaptive
+        # refinement STALLS on the reduced-precision applies (the
+        # kappa-hard case that previously reported status=error,
+        # linalg/results.py:4-15-style graceful failure), redo the solve +
+        # refinement with the full-precision W instead.  Memory cost: +50%
+        # of W (f32 + bf16); no per-solve cost on the fast path beyond the
+        # probe the adaptive mode already runs.
+        self.w_auto_gate = w_auto_gate
         # hybrid precision: factor pivots in factor_dtype (e.g. f64 when the
         # blocks' elimination is cancellation-heavy), every apply in
         # apply_dtype (f32); see _factor_blocks_winv
@@ -797,10 +812,13 @@ class SchurComplementSolver(LinearSolver):
                 else:
                     contrib = _sc_contribution_winv(W, d, s, kkt.border, kkt.mask)
                     sc = kkt.q.astype(W.dtype) - contrib
+            W_hi = None
             if self.w_store_dtype is not None:
+                if self.w_auto_gate and self.adaptive_refine:
+                    W_hi = W
                 W = W.astype(self.w_store_dtype)
         else:
-            W = d = s = None
+            W = d = s = W_hi = None
             border_f = kkt.border_loc if local else kkt.border
             with jax.named_scope("sc_solver.factor_blocks"):
                 LD, blk_inertia, blk_status = _factor_blocks(
@@ -841,6 +859,7 @@ class SchurComplementSolver(LinearSolver):
         return SchurFactor(
             block_LD=LD,
             block_W=W,
+            block_W_hi=W_hi,
             block_d=d,
             block_s=s,
             diag=kkt.diag if keep else None,
@@ -856,22 +875,25 @@ class SchurComplementSolver(LinearSolver):
             assembly=kkt.assembly if local else "scatter",
         )
 
-    def _apply_blocks(self, fact: SchurFactor, b):
-        """K_i^{-1} b_i for every block (in the factor's dtype)."""
-        if fact.block_W is not None:
-            return _winv_apply_batched(fact.block_W, fact.block_d, fact.block_s, b)
+    def _apply_blocks(self, fact: SchurFactor, b, hi: bool = False):
+        """K_i^{-1} b_i for every block (in the factor's dtype).
+
+        ``hi``: use the full-precision W (bf16 auto-gate fallback path)."""
+        W = fact.block_W_hi if (hi and fact.block_W_hi is not None) else fact.block_W
+        if W is not None:
+            return _winv_apply_batched(W, fact.block_d, fact.block_s, b)
         b = b.astype(fact.block_LD.dtype)
         return jax.vmap(lambda ld, bb: ldl_solve(ld, bb))(fact.block_LD, b)[
             :, : fact.nk
         ]
 
-    def _solve_once(self, fact: SchurFactor, rhs: BlockRhs) -> BlockRhs:
+    def _solve_once(self, fact: SchurFactor, rhs: BlockRhs, hi: bool = False) -> BlockRhs:
         local = fact.border is None
         chain = _chain_border_ok(fact.assembly, fact.border_loc, fact.nc)
         # local block solves (reference back solve pass 1,
         # explicit_schur_complement.py:144-148)
         with jax.named_scope("sc_solver.block_solve"):
-            v = self._apply_blocks(fact, rhs.blocks)
+            v = self._apply_blocks(fact, rhs.blocks, hi)
             if chain:
                 sc_rhs = rhs.coupling - _border_apply_chain(
                     fact.border_loc, v, fact.nc, fact.group_offset
@@ -900,7 +922,7 @@ class SchurComplementSolver(LinearSolver):
                 rhs2 = rhs.blocks - jnp.einsum(
                     "bci,c->bi", fact.border, y, preferred_element_type=v.dtype
                 )
-            x = self._apply_blocks(fact, rhs2)
+            x = self._apply_blocks(fact, rhs2, hi)
         return BlockRhs(blocks=x, coupling=y)
 
     def _solve_refined(self, fact: SchurFactor, rhs: BlockRhs):
@@ -916,30 +938,47 @@ class SchurComplementSolver(LinearSolver):
                 coupling=b.coupling.astype(rhs.coupling.dtype),
             )
 
-        def refine_pass(x: BlockRhs) -> BlockRhs:
+        def refine_pass(x: BlockRhs, hi=False) -> BlockRhs:
             kx = _kkt_matvec(fact, x)
             r = BlockRhs(
                 blocks=rhs.blocks - kx.blocks, coupling=rhs.coupling - kx.coupling
             )
-            dx = up(self._solve_once(fact, r))
+            dx = up(self._solve_once(fact, r, hi))
             return BlockRhs(
                 blocks=x.blocks + dx.blocks, coupling=x.coupling + dx.coupling
             )
 
-        x = up(self._solve_once(fact, rhs))
-        if self.adaptive_refine:
+        def solve_adaptive(hi):
             def cond(c):
                 _, it, need = c
                 return jnp.logical_and(need, it < self.refine_max_passes)
 
             def body(c):
                 x, it, _ = c
-                x = refine_pass(x)
+                x = refine_pass(x, hi)
                 return x, it + 1, _refine_probe(fact, rhs, x, self.refine_trigger)
 
+            x = up(self._solve_once(fact, rhs, hi))
             need0 = _refine_probe(fact, rhs, x, self.refine_trigger)
             x, _, need = lax.while_loop(cond, body, (x, jnp.int32(0), need0))
+            return x, need
+
+        if self.adaptive_refine:
+            x, need = solve_adaptive(False)
+            if fact.block_W_hi is not None:
+                # bf16 auto-gate: a refinement stall on the reduced-storage
+                # W (apply error beyond the contraction threshold on
+                # kappa-hard blocks) retries the whole solve with the
+                # full-precision W instead of surfacing status=error
+                def retry(_):
+                    return solve_adaptive(True)
+
+                def keep(_):
+                    return x, need
+
+                x, need = lax.cond(need, retry, keep, None)
             return x, jnp.logical_not(need)
+        x = up(self._solve_once(fact, rhs))
         for _ in range(self.refine_steps):
             x = refine_pass(x)
         return x, jnp.asarray(True)
