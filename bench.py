@@ -81,9 +81,20 @@ def _make_solver():
         if os.environ.get("PT_BENCH_SC") == "dense"
         else pt.BlockTridiagSolver()
     )
+    # A/B/C knobs for the bf16-W experiment (VERDICT r4 item 5):
+    #   PT_BENCH_W=bf16      store W in bf16 (halves the apply HBM reads)
+    #   PT_BENCH_REFINE=adaptive  adaptive refinement (enables the bf16
+    #                        auto-gate; costs a probe matvec per solve)
+    w_store = (
+        jnp.bfloat16 if os.environ.get("PT_BENCH_W") == "bf16" else None
+    )
+    refine = (
+        None if os.environ.get("PT_BENCH_REFINE") == "adaptive" else 0
+    )
     return pt.SchurComplementSolver(
         block_size=128, explicit_inverse=True, factor_dtype=jnp.float32,
-        refine_steps=0, schur_complement_solver=sc,
+        refine_steps=refine, schur_complement_solver=sc,
+        w_store_dtype=w_store,
     )
 
 

@@ -20,7 +20,32 @@ import time
 import numpy as np
 
 
+def dispatch_floor_ms(reps=5):
+    """Per-dispatch relay floor: round-trip of a trivial jitted fn.  The
+    floor varied 2.3-23.7 ms within one session on the TPU relay
+    (docs/ROUND4.md:87-88); reporting it per run makes small rows
+    interpretable across rounds."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.ones(8, dtype=jnp.float32)
+    float(f(x)[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        float(f(x)[0])
+        best = min(best, time.time() - t0)
+    return best * 1e3
+
+
 def fused_iters_per_s(interface, solver, tol=1e-8):
+    """(iters/s, n_iter, wall, band_s): compile, then time warm solves.
+
+    Rows whose single solve is under ~1 s amortize 3 back-to-back solves
+    per timed region (each fused solve is ONE dispatch, so short rows are
+    otherwise dominated by the relay floor's jitter); every row reports
+    best-of-3 regions plus the max-min band across regions."""
     import parapint_tpu as pt
 
     options = pt.IPOptions()
@@ -37,8 +62,18 @@ def fused_iters_per_s(interface, solver, tol=1e-8):
     t0 = time.time()
     result = solve(state0)
     n_iter = int(result.iterations)
-    wall = time.time() - t0
-    return max(1, n_iter - 1) / wall, n_iter, wall
+    first_wall = time.time() - t0
+    k = 3 if first_wall < 1.0 else 1
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(k):
+            result = solve(state0)
+        n_iter = int(result.iterations)
+        walls.append((time.time() - t0) / k)
+    wall = min(walls)
+    band = max(walls) - min(walls)
+    return max(1, n_iter - 1) / wall, n_iter, wall, band
 
 
 def stochastic_32():
@@ -204,6 +239,30 @@ def main():
         )
     )
 
+    def burgers_banded_if(nfe_x, nfe_t, nblocks):
+        spec = burgers.build_spec(nfe_x=nfe_x, nfe_t=nfe_t, num_time_blocks=nblocks)
+        return pt.DynamicSchurComplementInteriorPointInterface(
+            spec, kkt_dtype=jnp.float32, block_form="banded"
+        )
+
+    configs.append(
+        (
+            # the reference's flagship scaling knob at a DENSE-INFEASIBLE
+            # size: nfe_x=200 gives nk=3017 per block; the dense path would
+            # materialize 64 x 3017^2 f32 = 2.3 GB diag + same W, the
+            # banded path stores (64, 61, 3017) bands + O(nk*ts) tiles
+            # (~70x less).  MA27-envelope evidence (VERDICT r4 Missing #1).
+            "burgers_banded_nfex200_64blocks",
+            lambda: (
+                burgers_banded_if(200, 256, 64),
+                pt.BandedSchurComplementSolver(
+                    schur_complement_solver=pt.BlockTridiagSolver(),
+                    factor_dtype=jnp.float32,
+                ),
+            ),
+        )
+    )
+
     # optional substring filters: python bench_all.py 256 pcg
     filters = [a for a in sys.argv[1:] if not a.startswith("-")]
     if filters:
@@ -211,10 +270,12 @@ def main():
             (n, m) for n, m in configs if any(f in n for f in filters)
         ]
 
+    floor_ms = dispatch_floor_ms()
+    print(json.dumps({"dispatch_floor_ms": round(floor_ms, 2)}), flush=True)
     for name, make in configs:
         try:
             interface, solver = make()
-            ips, n_iter, wall = fused_iters_per_s(interface, solver)
+            ips, n_iter, wall, band = fused_iters_per_s(interface, solver)
             print(
                 json.dumps(
                     {
@@ -222,6 +283,8 @@ def main():
                         "ip_iterations_per_s": round(ips, 4),
                         "n_iter": n_iter,
                         "wall_s": round(wall, 3),
+                        "band_s": round(band, 3),
+                        "dispatch_floor_ms": round(floor_ms, 2),
                     }
                 ),
                 flush=True,

@@ -109,10 +109,18 @@ class BatchedNLPFunctions:
         # Hessian/Jacobian blocks from 2p+1 matvecs instead of
         # materializing (N, n, n) Hessians — the matrix-free analogue of
         # the reference's sparse AD through ASL (interface.py:474-491)
+        # model functions may mix dtypes internally (f64 module constants
+        # under a kkt_dtype=f32 interface); pin every probed closure's
+        # output to x's dtype so jvp/vjp tangent dtypes line up
         def _hvp(x, y_eq, y_ineq, obj_factor, p, xm, em, im, v):
-            g = lambda xx: jax.grad(_lag, argnums=0)(
-                xx, y_eq, y_ineq, obj_factor, p, xm, em, im
-            )
+            def g(xx):
+                return jax.grad(
+                    lambda xq: _lag(
+                        xq, y_eq, y_ineq, obj_factor, p, xm, em, im
+                    ).astype(xq.dtype),
+                    argnums=0,
+                )(xx).astype(xx.dtype)
+
             return jax.jvp(g, (x,), (v,))[1]
 
         probe = lambda f, nstate: jax.vmap(
@@ -124,22 +132,26 @@ class BatchedNLPFunctions:
         def _jvp_eq(x, p, xm, em, v):
             if not n_eq:
                 return jnp.zeros(0, dtype=x.dtype)
-            return jax.jvp(lambda xx: _ceq(xx, p, xm, em), (x,), (v,))[1]
+            f = lambda xx: _ceq(xx, p, xm, em).astype(x.dtype)
+            return jax.jvp(f, (x,), (v,))[1]
 
         def _vjp_eq(x, p, xm, em, w):
             if not n_eq:
                 return jnp.zeros(n_x, dtype=x.dtype)
-            return jax.vjp(lambda xx: _ceq(xx, p, xm, em), x)[1](w)[0]
+            f = lambda xx: _ceq(xx, p, xm, em).astype(x.dtype)
+            return jax.vjp(f, x)[1](w)[0]
 
         def _jvp_ineq(x, p, xm, im, v):
             if not n_ineq:
                 return jnp.zeros(0, dtype=x.dtype)
-            return jax.jvp(lambda xx: _cineq(xx, p, xm, im), (x,), (v,))[1]
+            f = lambda xx: _cineq(xx, p, xm, im).astype(x.dtype)
+            return jax.jvp(f, (x,), (v,))[1]
 
         def _vjp_ineq(x, p, xm, im, w):
             if not n_ineq:
                 return jnp.zeros(n_x, dtype=x.dtype)
-            return jax.vjp(lambda xx: _cineq(xx, p, xm, im), x)[1](w)[0]
+            f = lambda xx: _cineq(xx, p, xm, im).astype(x.dtype)
+            return jax.vjp(f, x)[1](w)[0]
 
         self.jvp_eq = probe(_jvp_eq, 4)
         self.vjp_eq = probe(_vjp_eq, 4)

