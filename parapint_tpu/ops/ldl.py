@@ -556,7 +556,8 @@ def _use_slab_kernel(b: int) -> bool:
 
     "slab" = the round-4 two-level kernel (slab-local serial steps + rank-8
     MXU trailing updates; see pallas_ldl._make_slab_kernel), requires
-    b % 8 == 0; "column" = the round-2/3 per-column SSA kernel.
+    b % 8 == 0; "slab2" = same with rank-2 micro steps (two columns per
+    dependent-chain step); "column" = the round-2/3 per-column SSA kernel.
 
     Default: slab — chip-calibrated at 1.49-1.65 ms/call (winv, b=128,
     B=64) vs 2.62 for the per-column form (tools/kernel_lab.py panels,
@@ -569,7 +570,13 @@ def _use_slab_kernel(b: int) -> bool:
     import os
 
     algo = os.environ.get("PT_PANEL_ALGO", "slab")
-    return algo == "slab" and b % 8 == 0
+    return algo in ("slab", "slab2") and b % 8 == 0
+
+
+def _slab_rank2() -> bool:
+    import os
+
+    return os.environ.get("PT_PANEL_ALGO", "slab") == "slab2"
 
 
 def _panel_factor_batch(Akk: jax.Array) -> jax.Array:
@@ -587,7 +594,7 @@ def _panel_factor_batch(Akk: jax.Array) -> jax.Array:
         and pallas_ldl.available()
     ):
         if _use_slab_kernel(Akk.shape[-1]):
-            return pallas_ldl.ldl_panels_slab(Akk)
+            return pallas_ldl.ldl_panels_slab(Akk, rank2=_slab_rank2())
         return pallas_ldl.ldl_panels_batched(Akk)
     if Akk.shape[-1] % 8 == 0:
         return _ldl_slab_batched_xla(Akk)
@@ -660,7 +667,7 @@ def _panel_factor_batch_winv(Akk: jax.Array):
         if _use_slab_kernel(Akk.shape[-1]):
             # the slab kernel has no per-column live-value stack: no
             # winv_max_chunk ceiling
-            return pallas_ldl.ldl_panels_slab_winv(Akk)
+            return pallas_ldl.ldl_panels_slab_winv(Akk, rank2=_slab_rank2())
         if pallas_ldl.winv_max_chunk(Akk.shape[-1]) >= 1:
             return pallas_ldl.ldl_panels_batched_winv(Akk)
     if Akk.shape[-1] % 8 == 0:

@@ -124,7 +124,7 @@ def _panel_kernel_batched_winv(a_ref, out_ref, w_ref):
     w_ref[...] = W
 
 
-def _make_slab_kernel(b: int, r: int, with_w: bool):
+def _make_slab_kernel(b: int, r: int, with_w: bool, rank2: bool = False):
     """Two-level (slab-blocked) panel kernel factory.
 
     The per-column kernels above are LATENCY-bound: b serial rank-1 steps,
@@ -191,23 +191,74 @@ def _make_slab_kernel(b: int, r: int, with_w: bool):
             # column-major copy of the slab's diagonal block:
             # Q[c, ii, jj] = A[j0+ii, j0+jj]
             Q = jnp.swapaxes(S[:, :, j0:e], 1, 2)  # (C, r, r)
-            for jj in range(r):
-                j = j0 + jj
-                colj = S[:, jj : jj + 1, :]  # (C, 1, b) true column j
-                piv = Q[:, jj : jj + 1, jj : jj + 1]  # (C, 1, 1)
-                piv_safe = jnp.where(jnp.abs(piv) > 0, piv, jnp.ones_like(piv))
-                below = lane_b > jnp.int32(j)  # (1, 1, b)
-                l = jnp.where(below, colj / piv_safe, jnp.zeros_like(colj))
-                # in-slab rank-1 on rows kk > jj (columns j0+kk of A) fused
-                # with packing row jj: S[kk, i] -= x[kk] l[i], x from Q
-                xsub = jnp.where(
-                    subl_r > jnp.int32(jj), Q[:, :, jj : jj + 1], 0.0
-                )  # (C, r, 1)
-                packed = jnp.where(below, l, colj)
-                S = jnp.where(subl_r == jnp.int32(jj), packed, S - xsub * l)
-                # Q mirrors the slab-lane part with bitwise identical
-                # products: Q[kk, m] -= x[kk] * l_slab[m]
-                Q = Q - xsub * l[:, :, j0:e]
+            if rank2:
+                # rank-2 micro steps (round-5 candidate, docs/ROUND4.md
+                # lead 2): eliminate TWO columns per dependent-chain step —
+                # the big (C, r, b) slab updates run once per pair, halving
+                # the count of full-slab ops on the serial chain.  The
+                # second column's elimination quantities derive from the
+                # first's IN REGISTERS (c2 = col2 - m*l1 etc.), using
+                # bitwise the same products as two rank-1 steps would.
+                for t in range(r // 2):
+                    p = 2 * t
+                    j1 = j0 + p
+                    j2 = j1 + 1
+                    c1 = S[:, p : p + 1, :]  # (C, 1, b) true column j1
+                    d1 = Q[:, p : p + 1, p : p + 1]  # (C, 1, 1)
+                    d1s = jnp.where(jnp.abs(d1) > 0, d1, jnp.ones_like(d1))
+                    below1 = lane_b > jnp.int32(j1)
+                    l1 = jnp.where(below1, c1 / d1s, jnp.zeros_like(c1))
+                    packed1 = jnp.where(below1, l1, c1)
+                    # column j2 after step 1's rank-1 (m = raw A[j2, j1]).
+                    # l21 is SLICED from l1 (lane j2), not recomputed as
+                    # m/d1 — keeps every product bitwise identical to two
+                    # sequential rank-1 steps (a*(b/c) != (a/c)*b in fp)
+                    m = Q[:, p + 1 : p + 2, p : p + 1]  # (C, 1, 1)
+                    c2 = S[:, p + 1 : p + 2, :] - m * l1
+                    l21 = l1[:, :, j2 : j2 + 1]  # (C, 1, 1)
+                    d2 = Q[:, p + 1 : p + 2, p + 1 : p + 2] - m * l21
+                    d2s = jnp.where(jnp.abs(d2) > 0, d2, jnp.ones_like(d2))
+                    below2 = lane_b > jnp.int32(j2)
+                    l2 = jnp.where(below2, c2 / d2s, jnp.zeros_like(c2))
+                    packed2 = jnp.where(below2, l2, c2)
+                    # rank-2 update of rows kk > p+1 (columns j0+kk of A):
+                    # x1 = raw col p of Q, x2 = col p+1 updated by step 1
+                    mask_r = subl_r > jnp.int32(p + 1)  # (1, r, 1)
+                    x1 = jnp.where(mask_r, Q[:, :, p : p + 1], 0.0)
+                    x2 = jnp.where(
+                        mask_r,
+                        Q[:, :, p + 1 : p + 2] - Q[:, :, p : p + 1] * l21,
+                        0.0,
+                    )
+                    Snew = S - x1 * l1 - x2 * l2
+                    S = jnp.where(
+                        subl_r == jnp.int32(p),
+                        packed1,
+                        jnp.where(subl_r == jnp.int32(p + 1), packed2, Snew),
+                    )
+                    l1s = l1[:, :, j0:e]
+                    l2s = l2[:, :, j0:e]
+                    Q = Q - x1 * l1s - x2 * l2s
+            else:
+                for jj in range(r):
+                    j = j0 + jj
+                    colj = S[:, jj : jj + 1, :]  # (C, 1, b) true column j
+                    piv = Q[:, jj : jj + 1, jj : jj + 1]  # (C, 1, 1)
+                    piv_safe = jnp.where(
+                        jnp.abs(piv) > 0, piv, jnp.ones_like(piv)
+                    )
+                    below = lane_b > jnp.int32(j)  # (1, 1, b)
+                    l = jnp.where(below, colj / piv_safe, jnp.zeros_like(colj))
+                    # in-slab rank-1 on rows kk > jj (columns j0+kk of A)
+                    # fused with packing row jj: S[kk, i] -= x[kk] l[i]
+                    xsub = jnp.where(
+                        subl_r > jnp.int32(jj), Q[:, :, jj : jj + 1], 0.0
+                    )  # (C, r, 1)
+                    packed = jnp.where(below, l, colj)
+                    S = jnp.where(subl_r == jnp.int32(jj), packed, S - xsub * l)
+                    # Q mirrors the slab-lane part with bitwise identical
+                    # products: Q[kk, m] -= x[kk] * l_slab[m]
+                    Q = Q - xsub * l[:, :, j0:e]
             out_ref[:, j0:e, :] = S
             # masked L in both orientations.  ONE explicit (C,r,b)->(C,b,r)
             # transpose per slab buys NATIVE MXU dot layouts below
@@ -284,13 +335,14 @@ def slab_chunk_default(b: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "interpret", "slab")
+    jax.jit, static_argnames=("chunk", "interpret", "slab", "rank2")
 )
 def ldl_panels_slab(
     A: jax.Array,
     chunk: int | None = None,
     interpret: bool = False,
     slab: int = 8,
+    rank2: bool = False,
 ) -> jax.Array:
     """Slab-blocked batched panel factorization: (B, b, b) -> packed.
 
@@ -310,7 +362,7 @@ def ldl_panels_slab(
     At = jnp.swapaxes(A, 1, 2)  # kernel works on true columns as sublanes
     with jax.enable_x64(False):
         out_t = pl.pallas_call(
-            _make_slab_kernel(b, slab, with_w=False),
+            _make_slab_kernel(b, slab, with_w=False, rank2=rank2),
             out_shape=jax.ShapeDtypeStruct(At.shape, At.dtype),
             grid=(At.shape[0] // C,),
             in_specs=[
@@ -327,13 +379,14 @@ def ldl_panels_slab(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "interpret", "slab")
+    jax.jit, static_argnames=("chunk", "interpret", "slab", "rank2")
 )
 def ldl_panels_slab_winv(
     A: jax.Array,
     chunk: int | None = None,
     interpret: bool = False,
     slab: int = 8,
+    rank2: bool = False,
 ):
     """Slab-blocked batched panel factorization + panel inverse W = L^{-1}.
 
@@ -353,7 +406,7 @@ def ldl_panels_slab_winv(
     At = jnp.swapaxes(A, 1, 2)
     with jax.enable_x64(False):
         out_t, w = pl.pallas_call(
-            _make_slab_kernel(b, slab, with_w=True),
+            _make_slab_kernel(b, slab, with_w=True, rank2=rank2),
             out_shape=(
                 jax.ShapeDtypeStruct(At.shape, At.dtype),
                 jax.ShapeDtypeStruct(At.shape, At.dtype),
