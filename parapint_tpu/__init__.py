@@ -55,6 +55,7 @@ from parapint_tpu.linalg import (
     BlockTridiagSolver,
     CondensedLSQSolver,
     BandedSchurComplementSolver,
+    ShardedBandedSchurComplementSolver,
 )
 from parapint_tpu.models import NLPModel
 from parapint_tpu.interfaces import (
@@ -89,6 +90,7 @@ __all__ = [
     "BlockTridiagSolver",
     "CondensedLSQSolver",
     "BandedSchurComplementSolver",
+    "ShardedBandedSchurComplementSolver",
     "NLPModel",
     "InteriorPointInterface",
     "DynamicSchurComplementInteriorPointInterface",

@@ -23,6 +23,7 @@ from parapint_tpu.linalg.tridiag import BlockTridiag, BlockTridiagSolver
 from parapint_tpu.linalg.banded_schur import (
     BandedLocalBlockKKT,
     BandedSchurComplementSolver,
+    ShardedBandedSchurComplementSolver,
 )
 from parapint_tpu.linalg.condensed import CondensedLSQKKT, CondensedLSQSolver
 
@@ -43,6 +44,7 @@ __all__ = [
     "BlockTridiagSolver",
     "BandedLocalBlockKKT",
     "BandedSchurComplementSolver",
+    "ShardedBandedSchurComplementSolver",
     "CondensedLSQKKT",
     "CondensedLSQSolver",
 ]

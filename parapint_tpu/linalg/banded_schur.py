@@ -222,6 +222,9 @@ class BandedSchurFactor:
     nc: int = dataclasses.field(metadata=dict(static=True))
     ts: int = dataclasses.field(metadata=dict(static=True))
     assembly: str = dataclasses.field(metadata=dict(static=True), default="scatter")
+    # first global coupling group of this shard's blocks (sharded chain
+    # path; None = 0)
+    group_offset: object = None
 
 
 def _banded_block_matvec(sym_bands, x, dtype=None):
@@ -230,6 +233,60 @@ def _banded_block_matvec(sym_bands, x, dtype=None):
         sym_bands = sym_bands.astype(dtype)
         x = x.astype(dtype)
     return jax.vmap(sym_banded_matvec)(sym_bands, x)
+
+
+def banded_tiles(sym_bands: jax.Array, tile_size=None):
+    """(diag_tiles, upper_tiles, ts, nk_pad) from a batched band store
+    (N, p+1, nk); pads nk to a tile multiple with identity rows."""
+    N, pp1, nk = sym_bands.shape
+    p = pp1 - 1
+    ts = tile_size if tile_size is not None else max(8, p)
+    if ts < p:
+        raise ValueError(f"tile_size {ts} < half-bandwidth {p}")
+    n_extra = (-nk) % ts
+    nk_pad = nk + n_extra
+    if n_extra:
+        pad = jnp.zeros((N, pp1, n_extra), dtype=sym_bands.dtype)
+        pad = pad.at[:, 0, :].set(1.0)
+        bands = jnp.concatenate([sym_bands, pad], axis=2)
+    else:
+        bands = sym_bands
+    diag_t, upper_t = jax.vmap(lambda sb: sym_band_to_tridiag_tiles(sb, ts))(
+        bands
+    )
+    return diag_t, upper_t, ts, nk_pad
+
+
+def pad_banded_block_count(kkt: BandedLocalBlockKKT, multiple: int):
+    """Pad a BandedLocalBlockKKT to a multiple of ``multiple`` blocks with
+    masked identity blocks (band 0 = 1, zero borders); chain assemblies
+    fall back to scatter exactly as :func:`parapint_tpu.linalg.schur.
+    pad_block_count` does (padding blocks overflow the chain windows)."""
+    N, pp1, nk = kkt.sym_bands.shape
+    rem = (-N) % multiple
+    if rem == 0:
+        return kkt
+    pad = jnp.zeros((rem, pp1, nk), dtype=kkt.sym_bands.dtype)
+    pad = pad.at[:, 0, :].set(1.0)
+    L = kkt.border_loc.shape[1]
+    nc = kkt.q.shape[-1]
+    return BandedLocalBlockKKT(
+        sym_bands=jnp.concatenate([kkt.sym_bands, pad], axis=0),
+        border_loc=jnp.concatenate(
+            [kkt.border_loc, jnp.zeros((rem, L, nk), dtype=kkt.border_loc.dtype)],
+            axis=0,
+        ),
+        row_idx=jnp.concatenate(
+            [kkt.row_idx, jnp.full((rem, L), nc, dtype=jnp.int32)], axis=0
+        ),
+        q=kkt.q,
+        mask=jnp.concatenate(
+            [kkt.mask, jnp.zeros(rem, dtype=kkt.mask.dtype)]
+        ),
+        perm=kkt.perm,
+        iperm=kkt.iperm,
+        assembly="scatter" if kkt.assembly == "chain" else kkt.assembly,
+    )
 
 
 class BandedSchurComplementSolver(LinearSolver):
@@ -272,23 +329,7 @@ class BandedSchurComplementSolver(LinearSolver):
 
     def _tiles(self, kkt: BandedLocalBlockKKT):
         """(diag_tiles, upper_tiles, ts, nk_pad) from the banded store."""
-        N, pp1, nk = kkt.sym_bands.shape
-        p = pp1 - 1
-        ts = self.tile_size if self.tile_size is not None else max(8, p)
-        if ts < p:
-            raise ValueError(f"tile_size {ts} < half-bandwidth {p}")
-        n_extra = (-nk) % ts
-        nk_pad = nk + n_extra
-        if n_extra:
-            pad = jnp.zeros((N, pp1, n_extra), dtype=kkt.sym_bands.dtype)
-            pad = pad.at[:, 0, :].set(1.0)
-            bands = jnp.concatenate([kkt.sym_bands, pad], axis=2)
-        else:
-            bands = kkt.sym_bands
-        diag_t, upper_t = jax.vmap(
-            lambda sb: sym_band_to_tridiag_tiles(sb, ts)
-        )(bands)
-        return diag_t, upper_t, ts, nk_pad
+        return banded_tiles(kkt.sym_bands, self.tile_size)
 
     def symbolic(self, kkt: BandedLocalBlockKKT) -> LinearSolverResults:
         N, pp1, nk = kkt.sym_bands.shape
@@ -405,7 +446,7 @@ class BandedSchurComplementSolver(LinearSolver):
             v = self._apply_blocks(fact, rhs.blocks)
             if chain:
                 sc_rhs = rhs.coupling - _border_apply_chain(
-                    fact.border_loc, v, fact.nc
+                    fact.border_loc, v, fact.nc, fact.group_offset
                 )
             else:
                 sc_rhs = rhs.coupling - _border_apply_local(
@@ -415,7 +456,9 @@ class BandedSchurComplementSolver(LinearSolver):
             y = self.sc_solver.solve(fact.sc_fact, sc_rhs)
         with jax.named_scope("banded_sc.back_solve"):
             if chain:
-                rhs2 = rhs.blocks - _border_T_apply_chain(fact.border_loc, y)
+                rhs2 = rhs.blocks - _border_T_apply_chain(
+                    fact.border_loc, y, fact.group_offset
+                )
             else:
                 rhs2 = rhs.blocks - _border_T_apply_local(
                     fact.border_loc, fact.row_idx, y
@@ -423,8 +466,12 @@ class BandedSchurComplementSolver(LinearSolver):
             x = self._apply_blocks(fact, rhs2)
         return BlockRhs(blocks=x, coupling=y)
 
-    def _kkt_matvec(self, fact: BandedSchurFactor, x: BlockRhs, dtype=None):
-        """K @ x (permuted block coords) for iterative refinement."""
+    def _kkt_matvec(
+        self, fact: BandedSchurFactor, x: BlockRhs, dtype=None, psum_axis=None
+    ):
+        """K @ x (permuted block coords) for iterative refinement.  With
+        ``psum_axis`` the coupling part reduces over the mesh axis
+        (shard_map context)."""
         bands = fact.sym_bands
         q = fact.q
         xb, xc = x.blocks, x.coupling
@@ -437,19 +484,23 @@ class BandedSchurComplementSolver(LinearSolver):
             border_loc = border_loc.astype(dtype)
         bx = _banded_block_matvec(bands, xb)
         if _chain_border_ok(fact.assembly, border_loc, fact.nc):
-            bx = bx + _border_T_apply_chain(border_loc, xc)
-            cy = _border_apply_chain(border_loc, xb, fact.nc)
+            bx = bx + _border_T_apply_chain(border_loc, xc, fact.group_offset)
+            cy = _border_apply_chain(border_loc, xb, fact.nc, fact.group_offset)
         else:
             bx = bx + _border_T_apply_local(border_loc, fact.row_idx, xc)
             cy = _border_apply_local(border_loc, fact.row_idx, xb, fact.nc)
+        if psum_axis is not None:
+            cy = jax.lax.psum(cy, psum_axis)
         cy = cy + jnp.matmul(q, xc, preferred_element_type=cy.dtype)
         return BlockRhs(blocks=bx, coupling=cy)
 
-    def _refine_probe(self, fact, rhs, x, trigger):
+    def _refine_probe(self, fact, rhs, x, trigger, psum_axis=None):
         """f32 residual check, same semantics as the dense solver's
-        (schur.py _refine_probe) with the banded matvec."""
+        (schur.py _refine_probe) with the banded matvec.  With
+        ``psum_axis`` the block norms reduce over the mesh axis (the
+        coupling part is shard-replicated and is added once)."""
         f32 = jnp.float32
-        kx = self._kkt_matvec(fact, x, dtype=f32)
+        kx = self._kkt_matvec(fact, x, dtype=f32, psum_axis=psum_axis)
         afact = dataclasses.replace(
             fact,
             sym_bands=jnp.abs(fact.sym_bands),
@@ -457,17 +508,20 @@ class BandedSchurComplementSolver(LinearSolver):
             border_loc=jnp.abs(fact.border_loc),
         )
         ax = BlockRhs(blocks=jnp.abs(x.blocks), coupling=jnp.abs(x.coupling))
-        kabs = self._kkt_matvec(afact, ax, dtype=f32)
+        kabs = self._kkt_matvec(afact, ax, dtype=f32, psum_axis=psum_axis)
         wd = rhs.blocks.dtype
         rb = rhs.blocks.astype(f32).astype(wd) - kx.blocks.astype(wd)
         rc = rhs.coupling.astype(f32).astype(wd) - kx.coupling.astype(wd)
-        rn2 = jnp.sum(rb * rb) + jnp.sum(rc * rc)
-        bn2 = jnp.sum(rhs.blocks.astype(wd) ** 2) + jnp.sum(
-            rhs.coupling.astype(wd) ** 2
-        )
-        fn2 = jnp.sum(kabs.blocks.astype(wd) ** 2) + jnp.sum(
-            kabs.coupling.astype(wd) ** 2
-        )
+        rb2 = jnp.sum(rb * rb)
+        bb2 = jnp.sum(rhs.blocks.astype(wd) ** 2)
+        fb2 = jnp.sum(kabs.blocks.astype(wd) ** 2)
+        if psum_axis is not None:
+            rb2 = jax.lax.psum(rb2, psum_axis)
+            bb2 = jax.lax.psum(bb2, psum_axis)
+            fb2 = jax.lax.psum(fb2, psum_axis)
+        rn2 = rb2 + jnp.sum(rc * rc)
+        bn2 = bb2 + jnp.sum(rhs.coupling.astype(wd) ** 2)
+        fn2 = fb2 + jnp.sum(kabs.coupling.astype(wd) ** 2)
         eps = 32.0 * np.finfo(np.float32).eps
         floor2 = (eps * eps) * fn2
         bad = jnp.logical_not(jnp.isfinite(rn2))
@@ -545,3 +599,250 @@ class BandedSchurComplementSolver(LinearSolver):
 
     def status(self, fact: BandedSchurFactor) -> jax.Array:
         return fact.status
+
+
+class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
+    """Banded per-block factorization with the block axis sharded over a
+    mesh axis — the multi-chip MA27-envelope path: each shard runs the
+    block-Thomas sweep on its owned blocks' bands, the Schur complement is
+    psum-reduced and factorized replicated (identical math to
+    :class:`parapint_tpu.linalg.sharded_schur.ShardedSchurComplementSolver`,
+    reference mpi_explicit_schur_complement.py:128-452).
+    """
+
+    def __init__(self, mesh, axis_name: str = "blocks", **kw):
+        super().__init__(**kw)
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_shards = mesh.shape[axis_name]
+
+    def numeric(self, kkt: BandedLocalBlockKKT) -> BandedSchurFactor:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        from parapint_tpu.linalg.tridiag import BlockTridiag, extract_tridiag
+
+        ax = self.axis_name
+        kkt = pad_banded_block_count(kkt, self.n_shards)
+        N, pp1, nk = kkt.sym_bands.shape
+        nc = kkt.q.shape[-1]
+        tridiag = self._use_tridiag_sc(kkt)
+        ns = kkt.border_loc.shape[1] // 2
+        assembly = kkt.assembly
+
+        def _numeric(bands, border, row_idx, q, mask):
+            offset = lax.axis_index(ax) * bands.shape[0]
+            with jax.named_scope("banded_sc.factor_blocks"):
+                diag_t, upper_t, ts, nk_pad = banded_tiles(
+                    bands, self.tile_size
+                )
+                thomas = thomas_factor_batched(
+                    diag_t, upper_t, mask,
+                    zero_tol=self.zero_tol, factor_dtype=self.factor_dtype,
+                )
+            with jax.named_scope("banded_sc.form_sc"):
+                Nl = bands.shape[0]
+                L = border.shape[1]
+                At = jnp.swapaxes(border, 1, 2).astype(diag_t.dtype)
+                if nk_pad != nk:
+                    At = jnp.pad(At, ((0, 0), (0, nk_pad - nk), (0, 0)))
+                V = thomas_solve_batched(
+                    thomas, At.reshape(Nl, nk_pad // ts, ts, L)
+                ).reshape(Nl, nk_pad, L)[:, :nk]
+                S_loc = jnp.einsum(
+                    "bli,bik->blk", border.astype(V.dtype), V,
+                    preferred_element_type=V.dtype,
+                ) * mask[:, None, None].astype(V.dtype)
+            with jax.named_scope("banded_sc.communicate"):
+                if tridiag:
+                    dt_c, ut_full = _chain_tiles(S_loc, nc, offset)
+                    q_tri = extract_tridiag(q.astype(V.dtype), ns)
+                    sc = BlockTridiag(
+                        diag=q_tri.diag - lax.psum(dt_c, ax),
+                        upper=q_tri.upper - lax.psum(ut_full[:-1], ax),
+                    )
+                else:
+                    contrib = _assemble_sc(
+                        S_loc, row_idx, nc, assembly, offset
+                    )
+                    sc = q.astype(V.dtype) - lax.psum(contrib, ax)
+                blk_inertia = lax.psum(thomas.inertia, ax)
+                blk_status = lax.pmax(thomas.status, ax)
+            with jax.named_scope("banded_sc.factor_sc"):
+                sc_fact = self.sc_solver.numeric(sc)
+            sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
+            n_extra = nk_pad - nk
+            n_logical = jnp.sum(mask).astype(jnp.int32)
+            pad_pos = lax.psum(jnp.int32(n_extra) * n_logical, ax)
+            inertia = blk_inertia + jnp.stack([sc_pos, sc_neg, sc_zero])
+            inertia = inertia.at[0].add(-pad_pos)
+            status = jnp.maximum(blk_status, self.sc_solver.status(sc_fact))
+            # replace the thomas diagnostics with the REDUCED values so the
+            # returned pytree is shard-replicated where its out_specs say so
+            thomas = dataclasses.replace(
+                thomas, inertia=blk_inertia, status=blk_status
+            )
+            return thomas, sc_fact, inertia, status
+
+        thomas_specs = ThomasFactor(
+            tinv=P(ax), upper=P(ax), inertia=P(), status=P()
+        )
+        if tridiag:
+            sc_struct = self.sc_solver.fact_struct(
+                nc // ns, ns, kkt.sym_bands.dtype
+            )
+        else:
+            sc_struct = jax.eval_shape(
+                self.sc_solver.numeric,
+                jax.ShapeDtypeStruct((nc, nc), kkt.sym_bands.dtype),
+            )
+        sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), sc_struct)
+        thomas, sc_fact, inertia, status = shard_map(
+            _numeric,
+            mesh=self.mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(), P(ax)),
+            out_specs=(thomas_specs, sc_fact_specs, P(), P()),
+            check_vma=False,
+        )(kkt.sym_bands, kkt.border_loc, kkt.row_idx, kkt.q, kkt.mask)
+        ts = self.tile_size if self.tile_size is not None else max(8, pp1 - 1)
+        return BandedSchurFactor(
+            thomas=thomas,
+            sym_bands=kkt.sym_bands,
+            q=kkt.q,
+            border_loc=kkt.border_loc,
+            row_idx=kkt.row_idx,
+            perm=kkt.perm,
+            iperm=kkt.iperm,
+            sc_fact=sc_fact,
+            inertia=inertia,
+            status=status,
+            nk=nk,
+            nc=nc,
+            ts=ts,
+            assembly=assembly,
+        )
+
+    def _solve_refined(self, fact: BandedSchurFactor, rhs: BlockRhs):
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        ax = self.axis_name
+        nb = fact.sym_bands.shape[0]
+        n_rhs = rhs.blocks.shape[0]
+        # permute into the banded ordering, pad to the factor's block count
+        rp = jnp.take(rhs.blocks, fact.perm, axis=1)
+        if n_rhs != nb:
+            rp = jnp.pad(rp, ((0, nb - n_rhs), (0, 0)))
+
+        def _solve(thomas, bands, border, row_idx, q, sc_fact, blocks, coupling):
+            offset = lax.axis_index(ax) * blocks.shape[0]
+            shard_fact = BandedSchurFactor(
+                thomas=thomas,
+                sym_bands=bands,
+                q=q,
+                border_loc=border,
+                row_idx=row_idx,
+                perm=fact.perm,
+                iperm=fact.iperm,
+                sc_fact=sc_fact,
+                inertia=None,
+                status=None,
+                nk=fact.nk,
+                nc=fact.nc,
+                ts=fact.ts,
+                assembly=fact.assembly,
+                group_offset=offset,
+            )
+            lrhs = BlockRhs(blocks=blocks, coupling=coupling)
+
+            def solve_once(r):
+                chain = _chain_border_ok(fact.assembly, border, fact.nc)
+                v = self._apply_blocks(shard_fact, r.blocks)
+                if chain:
+                    contrib = _border_apply_chain(border, v, fact.nc, offset)
+                else:
+                    contrib = _border_apply_local(
+                        border, row_idx, v, fact.nc
+                    )
+                sc_rhs = r.coupling - lax.psum(contrib, ax)
+                y = self.sc_solver.solve(sc_fact, sc_rhs)
+                if chain:
+                    rhs2 = r.blocks - _border_T_apply_chain(border, y, offset)
+                else:
+                    rhs2 = r.blocks - _border_T_apply_local(
+                        border, row_idx, y
+                    )
+                x = self._apply_blocks(shard_fact, rhs2)
+                return BlockRhs(blocks=x, coupling=y)
+
+            def up(b):
+                return BlockRhs(
+                    blocks=b.blocks.astype(blocks.dtype),
+                    coupling=b.coupling.astype(coupling.dtype),
+                )
+
+            x = up(solve_once(lrhs))
+            if not self.adaptive_refine:
+                for _ in range(self.refine_steps):
+                    kx = self._kkt_matvec(shard_fact, x, psum_axis=ax)
+                    r = BlockRhs(
+                        blocks=blocks - kx.blocks,
+                        coupling=coupling - kx.coupling,
+                    )
+                    dx = up(solve_once(r))
+                    x = BlockRhs(
+                        blocks=x.blocks + dx.blocks,
+                        coupling=x.coupling + dx.coupling,
+                    )
+                return x.blocks, x.coupling, jnp.asarray(True)
+
+            def probe(xv):
+                return self._refine_probe(
+                    shard_fact, lrhs, xv, self.refine_trigger, psum_axis=ax
+                )
+
+            def cond(c):
+                _, it, need = c
+                return jnp.logical_and(need, it < self.refine_max_passes)
+
+            def body(c):
+                xv, it, _ = c
+                kx = self._kkt_matvec(shard_fact, xv, psum_axis=ax)
+                r = BlockRhs(
+                    blocks=blocks - kx.blocks, coupling=coupling - kx.coupling
+                )
+                dx = up(solve_once(r))
+                xv = BlockRhs(
+                    blocks=xv.blocks + dx.blocks,
+                    coupling=xv.coupling + dx.coupling,
+                )
+                return xv, it + 1, probe(xv)
+
+            x, _, need = lax.while_loop(cond, body, (x, jnp.int32(0), probe(x)))
+            return x.blocks, x.coupling, jnp.logical_not(need)
+
+        thomas_specs = ThomasFactor(
+            tinv=P(ax), upper=P(ax), inertia=P(), status=P()
+        )
+        sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), fact.sc_fact)
+        xb, y, ok = shard_map(
+            _solve,
+            mesh=self.mesh,
+            in_specs=(
+                thomas_specs, P(ax), P(ax), P(ax), P(), sc_fact_specs,
+                P(ax), P(),
+            ),
+            out_specs=(P(ax), P(), P()),
+            check_vma=False,
+        )(
+            fact.thomas,
+            fact.sym_bands,
+            fact.border_loc,
+            fact.row_idx,
+            fact.q,
+            fact.sc_fact,
+            rp,
+            rhs.coupling,
+        )
+        xb = jnp.take(xb[:n_rhs], fact.iperm, axis=1)
+        return BlockRhs(blocks=xb, coupling=y), ok

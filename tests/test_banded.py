@@ -250,6 +250,82 @@ class TestBandedInterface:
         assert (p + 1) / nk < 0.09  # >= 11x memory ratio, growing with nfe_x
 
 
+class TestShardedBanded:
+    """Sharded (multi-chip) banded path: the MA27 envelope combined with the
+    MPI Schur-complement decomposition (reference
+    mpi_explicit_schur_complement.py:128-452) — block-Thomas per shard,
+    psum-reduced SC, replicated coupling factor."""
+
+    def _mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()[:8]), ("blocks",))
+
+    def test_numeric_solve_parity_with_serial(self):
+        mesh = self._mesh()
+        spec = burgers.build_spec(nfe_x=8, nfe_t=16, num_time_blocks=8)
+        iface = pt.DynamicSchurComplementInteriorPointInterface(
+            spec, mesh=mesh, block_form="banded"
+        )
+        data = iface.eval_kkt_data(iface.init_state(), 0.1)
+        kkt = iface.assemble_kkt(data, 0.0, 0.0)
+        rhs = iface.kkt_rhs(data)
+
+        serial = pt.BandedSchurComplementSolver()
+        fs = serial.numeric(kkt)
+        xs, sts = serial.solve_with_status(fs, rhs)
+
+        sh = pt.ShardedBandedSchurComplementSolver(mesh)
+        fh = jax.jit(sh.numeric)(kkt)
+        xh, sth = sh.solve_with_status(fh, rhs)
+
+        assert int(sts) == int(sth) == 0
+        assert sh.inertia(fh) == serial.inertia(fs)
+        assert float(jnp.abs(xs.blocks - xh.blocks).max()) < 1e-11
+        assert float(jnp.abs(xs.coupling - xh.coupling).max()) < 1e-11
+
+    def test_fused_ip_parity_cr_coupling(self):
+        """Full fused IP solve, sharded banded blocks + cyclic-reduction
+        coupling solver, objective parity vs the serial dense path."""
+        mesh = self._mesh()
+        spec = burgers.build_spec(nfe_x=8, nfe_t=16, num_time_blocks=8)
+        iface = pt.DynamicSchurComplementInteriorPointInterface(
+            spec, mesh=mesh, block_form="banded"
+        )
+        opts = pt.IPOptions()
+        opts.linalg.solver = pt.ShardedBandedSchurComplementSolver(
+            mesh, schur_complement_solver=pt.BlockTridiagSolver(ns=iface.ns)
+        )
+        r = pt.make_fused_ip_solve(iface, opts)(iface.init_state())
+        assert int(r.status) == 0
+        iface._current_state = r.state
+        obj = float(iface.evaluate_objective())
+
+        iface_d = burgers.main(nfe_x=8, nfe_t=16, num_time_blocks=8)
+        assert abs(obj - float(iface_d.evaluate_objective())) < 1e-8
+
+    def test_fused_ip_nondivisible_blocks(self):
+        """11 blocks on 8 shards: pad_banded_block_count masks identity
+        blocks and corrects the inertia; chain assembly falls back to
+        scatter exactly like the dense sharded path."""
+        mesh = self._mesh()
+        spec = burgers.build_spec(nfe_x=8, nfe_t=22, num_time_blocks=11)
+        iface = pt.DynamicSchurComplementInteriorPointInterface(
+            spec, mesh=mesh, block_form="banded"
+        )
+        opts = pt.IPOptions()
+        opts.linalg.solver = pt.ShardedBandedSchurComplementSolver(mesh)
+        r = pt.make_fused_ip_solve(iface, opts)(iface.init_state())
+        assert int(r.status) == 0
+        iface._current_state = r.state
+        obj = float(iface.evaluate_objective())
+
+        iface_d = burgers.main(nfe_x=8, nfe_t=22, num_time_blocks=11)
+        assert abs(obj - float(iface_d.evaluate_objective())) < 1e-8
+
+
 @pytest.mark.slow
 def test_banded_large_nfe_x_ip():
     """Burgers at nfe_x where dense blocks are 70x the banded memory; the
