@@ -7,9 +7,13 @@ Measurement (ours)
 ------------------
 Full device-fused ``ip_solve_fused`` of the Burgers optimal-control problem
 (nfe_x=50, nfe_t=256, 64 time blocks — the BASELINE.md 64-block flagship
-config) at tol 1e-8 on the available accelerator, with the TPU fast path
-(explicit W = L^{-1}, f32 factorization + Ruiz equilibration + f64 iterative
-refinement).  The solve runs twice; the second (compile-warm) run is timed.
+config) at tol 1e-8 on the available accelerator, with the TPU fast path:
+BANDED per-block factorization (block-Thomas over 128-wide tiles of the
+bandwidth-permuted per-block KKTs, f32 tile factors with per-tile Ruiz
+equilibration, adaptive f64 iterative refinement — the MA27-envelope path,
+see _block_form) and the cyclic-reduction tile solver on the chain-topology
+Schur complement.  The solve runs twice; the second (compile-warm) run is
+timed.
 iterations/s = IP iterations / wall time, all evaluation/assembly/
 factorization/convergence work included.
 
@@ -52,7 +56,9 @@ N_BLOCKS = 64
 TOL = 1e-8
 
 
-def build_problem(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS, kkt_dtype="f32"):
+def build_problem(
+    nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS, kkt_dtype="f32", block_form=None
+):
     import jax.numpy as jnp
     import parapint_tpu as pt
     from parapint_tpu.examples import burgers
@@ -62,14 +68,40 @@ def build_problem(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS, kkt_dtype="f32"):
     # f32 (the matrix feeds the f32 factorization anyway); rhs, gradients and
     # convergence residuals stay f64 so tol=1e-8 remains certifiable.  The
     # scipy baseline passes kkt_dtype=None (it factors in f64).
+    kw = {} if block_form is None else {"block_form": block_form}
     return pt.DynamicSchurComplementInteriorPointInterface(
-        spec, kkt_dtype=jnp.float32 if kkt_dtype == "f32" else None
+        spec, kkt_dtype=jnp.float32 if kkt_dtype == "f32" else None, **kw
     )
 
 
-def _make_solver():
+def _block_form():
+    """PT_BENCH_BLOCK in {banded, dense}: per-block factorization family.
+
+    Default "banded" (round 5): the flagship runs the MA27-envelope path
+    (linalg/banded_schur.py) — block-Thomas over ts x ts tiles of the
+    bandwidth-permuted per-block KKTs, O(nk * ts) factor bytes instead of
+    the dense path's O(nk^2) explicit W.  Chip-measured (floor-free
+    iteration differencing, tol pinned so the fused while_loop runs
+    exactly N iterations): banded ts=128 18.9 ms/iter vs dense 27.6 —
+    1.46x — because this environment's HBM streaming floor is ~190 GB/s
+    and the banded factor/solve streams ~4x fewer bytes
+    (docs/benchmarks.md round 5).  "dense" restores the round-4 path."""
+    return os.environ.get("PT_BENCH_BLOCK", "banded")
+
+
+def _make_solver(iface=None):
     import jax.numpy as jnp
     import parapint_tpu as pt
+
+    if _block_form() == "banded":
+        # ts=128 beats the bandwidth-snapped default (72 for this family):
+        # chip A/B 34.9 vs 30.0 iter/s — fewer sequential tile steps win
+        # over smaller tiles on the MXU (docs/benchmarks.md round 5)
+        ts = int(os.environ.get("PT_BENCH_TS", "128"))
+        return pt.BandedSchurComplementSolver(
+            schur_complement_solver=pt.BlockTridiagSolver(ns=iface.ns),
+            tile_size=ts,
+        )
 
     # refine_steps=0 is validated for this benchmark problem on TPU
     # (converges to tol 1e-8; ~40% faster per iteration than the safe
@@ -101,10 +133,15 @@ def _make_solver():
 def measure_ours(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS, tol=TOL):
     import parapint_tpu as pt
 
-    interface = build_problem(nfe_x, nfe_t, n_blocks)
+    interface = build_problem(
+        nfe_x,
+        nfe_t,
+        n_blocks,
+        block_form="banded" if _block_form() == "banded" else None,
+    )
     options = pt.IPOptions()
     options.tol = tol
-    options.linalg.solver = _make_solver()
+    options.linalg.solver = _make_solver(interface)
     solve = pt.make_fused_ip_solve(interface, options)
     interface.set_bounds_relaxation_factor(options.bounds_relaxation_factor)
     state0 = interface.init_state()

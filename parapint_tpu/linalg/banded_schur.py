@@ -143,8 +143,11 @@ def thomas_factor_batched(
         axis=0,
     )
     zero_c = jnp.zeros((N, ts, ts), dtype=dt)
+    # the sweep is short (m = nk/ts ~ 8-16 steps); full unroll removes the
+    # per-step loop-control latency and lets XLA overlap the independent
+    # pieces of adjacent steps (round-5 latency work)
     _, (tinv_seq, inert_seq, stat_seq) = lax.scan(
-        tile_step, zero_c, (d_seq, u_seq)
+        tile_step, zero_c, (d_seq, u_seq), unroll=min(m, 8)
     )
     return ThomasFactor(
         tinv=jnp.swapaxes(tinv_seq, 0, 1),
@@ -180,7 +183,7 @@ def thomas_solve_batched(fact: ThomasFactor, r: jax.Array) -> jax.Array:
         return tz, tz
 
     zero = jnp.zeros((N, ts, k), dtype=dt)
-    _, tz_seq = lax.scan(fwd, zero, (r_seq, tinv, u_prev))
+    _, tz_seq = lax.scan(fwd, zero, (r_seq, tinv, u_prev), unroll=min(m, 8))
 
     def bwd(carry, inputs):
         x_next = carry
@@ -197,7 +200,7 @@ def thomas_solve_batched(fact: ThomasFactor, r: jax.Array) -> jax.Array:
         [upper, jnp.zeros((1, N, ts, ts), dtype=dt)], axis=0
     )
     _, x_rev = lax.scan(
-        bwd, zero, (tz_seq, tinv, u_next), reverse=True
+        bwd, zero, (tz_seq, tinv, u_next), reverse=True, unroll=min(m, 8)
     )
     x = jnp.swapaxes(x_rev, 0, 1)  # (N, m, ts, k)
     return x[..., 0] if vec else x
@@ -225,6 +228,46 @@ class BandedSchurFactor:
     # first global coupling group of this shard's blocks (sharded chain
     # path; None = 0)
     group_offset: object = None
+    # (N, m, ts, ts) / (N, m-1, ts, ts) tile store of the (padded,
+    # permuted) per-block KKTs — the refinement matvec runs in tile form
+    # (see tridiag_tiles_matvec); None on hand-built factors falls back to
+    # the shifted-band matvec
+    diag_t: object = None
+    upper_t: object = None
+
+
+def tridiag_tiles_matvec(diag_t, upper_t, x):
+    """Batched block-tridiagonal matvec from the SAME tile store the Thomas
+    factorization consumes: y_g = D_g x_g + U_g x_{g+1} + U_{g-1}^T x_{g-1}.
+
+    diag_t (N, m, ts, ts), upper_t (N, m-1, ts, ts), x (N, m, ts) or
+    (N, m, ts, k).  Three batched einsums total — the per-diagonal shifted
+    form (:func:`sym_banded_matvec`) issues ~2(p+1) dependent vector ops,
+    which at p ~ 67 costs ~2.5 ms/matvec in pure op latency on the chip
+    (round-5 sweep); this form measured the refinement probe down from
+    5.0 ms to sub-ms.  Also the f64 refinement matvec path: emulated-f64
+    batched matmuls beat 2(p+1) emulated-f64 vector ops.
+    """
+    vec = x.ndim == 3
+    if vec:
+        x = x[..., None]
+    dt = x.dtype
+    y = jnp.einsum(
+        "bmij,bmjk->bmik", diag_t.astype(dt), x, preferred_element_type=dt
+    )
+    if upper_t.shape[1]:
+        u = upper_t.astype(dt)
+        y = y.at[:, :-1].add(
+            jnp.einsum(
+                "bmij,bmjk->bmik", u, x[:, 1:], preferred_element_type=dt
+            )
+        )
+        y = y.at[:, 1:].add(
+            jnp.einsum(
+                "bmji,bmjk->bmik", u, x[:, :-1], preferred_element_type=dt
+            )
+        )
+    return y[..., 0] if vec else y
 
 
 def _banded_block_matvec(sym_bands, x, dtype=None):
@@ -311,6 +354,7 @@ class BandedSchurComplementSolver(LinearSolver):
         refine_steps: Optional[int] = None,
         refine_trigger: float = 1e-5,
         refine_max_passes: int = 8,
+        tile_block_size: int = 64,
     ):
         self.sc_solver = (
             schur_complement_solver
@@ -324,6 +368,10 @@ class BandedSchurComplementSolver(LinearSolver):
         self.refine_steps = 1 if refine_steps is None else refine_steps
         self.refine_trigger = refine_trigger
         self.refine_max_passes = refine_max_passes
+        # panel width of the per-tile LDL^T inside the Thomas sweep; the
+        # tile factors ts x ts blocks, so tile_block_size=ts runs ONE fused
+        # panel kernel per tile instead of ts/tile_block_size chained ones
+        self.tile_block_size = tile_block_size
 
     # -- factorization ------------------------------------------------------
 
@@ -366,6 +414,7 @@ class BandedSchurComplementSolver(LinearSolver):
                 kkt.mask,
                 zero_tol=self.zero_tol,
                 factor_dtype=self.factor_dtype,
+                tile_block_size=self.tile_block_size,
             )
         with jax.named_scope("banded_sc.form_sc"):
             # V = K^{-1} A^T over the L border columns (multi-RHS sweep)
@@ -421,6 +470,8 @@ class BandedSchurComplementSolver(LinearSolver):
             nc=nc,
             ts=ts,
             assembly=kkt.assembly,
+            diag_t=diag_t,
+            upper_t=upper_t,
         )
 
     # -- solves -------------------------------------------------------------
@@ -472,17 +523,31 @@ class BandedSchurComplementSolver(LinearSolver):
         """K @ x (permuted block coords) for iterative refinement.  With
         ``psum_axis`` the coupling part reduces over the mesh axis
         (shard_map context)."""
-        bands = fact.sym_bands
         q = fact.q
         xb, xc = x.blocks, x.coupling
         border_loc = fact.border_loc
         if dtype is not None:
-            bands = bands.astype(dtype)
             q = q.astype(dtype)
             xb = xb.astype(dtype)
             xc = xc.astype(dtype)
             border_loc = border_loc.astype(dtype)
-        bx = _banded_block_matvec(bands, xb)
+        if fact.diag_t is not None:
+            N, nk = xb.shape
+            ts = fact.ts
+            nk_pad = fact.diag_t.shape[1] * ts
+            xp = (
+                jnp.pad(xb, ((0, 0), (0, nk_pad - nk)))
+                if nk_pad != nk
+                else xb
+            )
+            bx = tridiag_tiles_matvec(
+                fact.diag_t, fact.upper_t, xp.reshape(N, nk_pad // ts, ts)
+            ).reshape(N, nk_pad)[:, :nk]
+        else:
+            bands = fact.sym_bands
+            if dtype is not None:
+                bands = bands.astype(dtype)
+            bx = _banded_block_matvec(bands, xb)
         if _chain_border_ok(fact.assembly, border_loc, fact.nc):
             bx = bx + _border_T_apply_chain(border_loc, xc, fact.group_offset)
             cy = _border_apply_chain(border_loc, xb, fact.nc, fact.group_offset)
@@ -501,11 +566,15 @@ class BandedSchurComplementSolver(LinearSolver):
         coupling part is shard-replicated and is added once)."""
         f32 = jnp.float32
         kx = self._kkt_matvec(fact, x, dtype=f32, psum_axis=psum_axis)
+        # |K| matvec for the noise floor: every tile entry is a single band
+        # entry (positional placement), so abs commutes with the tiling
         afact = dataclasses.replace(
             fact,
-            sym_bands=jnp.abs(fact.sym_bands),
+            sym_bands=None if fact.sym_bands is None else jnp.abs(fact.sym_bands),
             q=jnp.abs(fact.q),
             border_loc=jnp.abs(fact.border_loc),
+            diag_t=None if fact.diag_t is None else jnp.abs(fact.diag_t),
+            upper_t=None if fact.upper_t is None else jnp.abs(fact.upper_t),
         )
         ax = BlockRhs(blocks=jnp.abs(x.blocks), coupling=jnp.abs(x.coupling))
         kabs = self._kkt_matvec(afact, ax, dtype=f32, psum_axis=psum_axis)
@@ -639,6 +708,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
                 thomas = thomas_factor_batched(
                     diag_t, upper_t, mask,
                     zero_tol=self.zero_tol, factor_dtype=self.factor_dtype,
+                    tile_block_size=self.tile_block_size,
                 )
             with jax.named_scope("banded_sc.form_sc"):
                 Nl = bands.shape[0]
@@ -682,7 +752,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             thomas = dataclasses.replace(
                 thomas, inertia=blk_inertia, status=blk_status
             )
-            return thomas, sc_fact, inertia, status
+            return thomas, sc_fact, inertia, status, diag_t, upper_t
 
         thomas_specs = ThomasFactor(
             tinv=P(ax), upper=P(ax), inertia=P(), status=P()
@@ -697,11 +767,11 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
                 jax.ShapeDtypeStruct((nc, nc), kkt.sym_bands.dtype),
             )
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), sc_struct)
-        thomas, sc_fact, inertia, status = shard_map(
+        thomas, sc_fact, inertia, status, diag_t, upper_t = shard_map(
             _numeric,
             mesh=self.mesh,
             in_specs=(P(ax), P(ax), P(ax), P(), P(ax)),
-            out_specs=(thomas_specs, sc_fact_specs, P(), P()),
+            out_specs=(thomas_specs, sc_fact_specs, P(), P(), P(ax), P(ax)),
             check_vma=False,
         )(kkt.sym_bands, kkt.border_loc, kkt.row_idx, kkt.q, kkt.mask)
         ts = self.tile_size if self.tile_size is not None else max(8, pp1 - 1)
@@ -720,6 +790,8 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             nc=nc,
             ts=ts,
             assembly=assembly,
+            diag_t=diag_t,
+            upper_t=upper_t,
         )
 
     def _solve_refined(self, fact: BandedSchurFactor, rhs: BlockRhs):
@@ -734,7 +806,10 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
         if n_rhs != nb:
             rp = jnp.pad(rp, ((0, nb - n_rhs), (0, 0)))
 
-        def _solve(thomas, bands, border, row_idx, q, sc_fact, blocks, coupling):
+        def _solve(
+            thomas, bands, border, row_idx, q, sc_fact, blocks, coupling,
+            diag_t, upper_t,
+        ):
             offset = lax.axis_index(ax) * blocks.shape[0]
             shard_fact = BandedSchurFactor(
                 thomas=thomas,
@@ -752,6 +827,8 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
                 ts=fact.ts,
                 assembly=fact.assembly,
                 group_offset=offset,
+                diag_t=diag_t,
+                upper_t=upper_t,
             )
             lrhs = BlockRhs(blocks=blocks, coupling=coupling)
 
@@ -830,7 +907,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             mesh=self.mesh,
             in_specs=(
                 thomas_specs, P(ax), P(ax), P(ax), P(), sc_fact_specs,
-                P(ax), P(),
+                P(ax), P(), P(ax), P(ax),
             ),
             out_specs=(P(ax), P(), P()),
             check_vma=False,
@@ -843,6 +920,8 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             fact.sc_fact,
             rp,
             rhs.coupling,
+            fact.diag_t,
+            fact.upper_t,
         )
         xb = jnp.take(xb[:n_rhs], fact.iperm, axis=1)
         return BlockRhs(blocks=xb, coupling=y), ok

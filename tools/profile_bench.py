@@ -39,8 +39,10 @@ def main():
     import bench
     import parapint_tpu as pt
 
-    interface = bench.build_problem()
-    solver = bench._make_solver()
+    interface = bench.build_problem(
+        block_form="banded" if bench._block_form() == "banded" else None
+    )
+    solver = bench._make_solver(interface)
     state = interface.init_state()
     mu = 0.1
 
