@@ -146,8 +146,13 @@ def measure_ours(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS, tol=TOL):
     interface.set_bounds_relaxation_factor(options.bounds_relaxation_factor)
     state0 = interface.init_state()
 
-    # run 1: compile + solve; then best of 3 warm runs (the remote execution
-    # path has multi-ms jitter)
+    # run 1: compile + solve; then best of 3 warm regions of K back-to-back
+    # solves each.  One fused solve is a single dispatch whose wall carries
+    # ~2 relay round trips (enqueue + result readback, ~24 ms each, jitter
+    # 2-24 ms — docs/ROUND4.md); K solves pipeline through the relay so the
+    # fixed cost amortizes, the same discipline bench_all.py applies to its
+    # sub-second rows.  The reference pays no such relay (its MPI ranks are
+    # local), so amortizing is the honest comparison.
     result = solve(state0)
     status = int(result.status)
     n_iter = int(result.iterations)
@@ -158,12 +163,14 @@ def measure_ours(nfe_x=NFE_X, nfe_t=NFE_T, n_blocks=N_BLOCKS, tol=TOL):
         float(result.dual_inf),
         float(result.compl_inf),
     )
+    K = 3
     wall = float("inf")
     for _ in range(3):
         t0 = time.time()
-        result = solve(state0)
-        n_iter = int(result.iterations)  # forces completion
-        wall = min(wall, time.time() - t0)
+        for _ in range(K):
+            result = solve(state0)
+        n_iter = int(result.iterations)  # forces completion of the region
+        wall = min(wall, (time.time() - t0) / K)
     steps = max(1, n_iter - 1)  # final iteration is the terminating check
     return steps / wall, n_iter, wall
 

@@ -533,9 +533,13 @@ def _border_apply_chain(border_loc, v, nc: int, group_offset=None):
     L = border_loc.shape[1]
     ns = L // 2
     ng = nc // ns
-    contrib = jnp.einsum(
-        "bli,bi->bl", border_loc, v, preferred_element_type=v.dtype
-    )
+    # batched GEMM form (not einsum "bli,bi->bl"): the TPU backend lowered
+    # the einsum with a chunked-reduction strategy measured at ~0.5 ms/call
+    # on the 64-block bench shape; the explicit (b,L,nk)@(b,nk,1) matmul is
+    # a plain MXU contraction (round-5 trace-driven fix)
+    contrib = jnp.matmul(
+        border_loc, v[:, :, None], preferred_element_type=v.dtype
+    )[..., 0]
     bwd = contrib[:, :ns]
     fwd = contrib[:, ns:]
     off = group_offset if group_offset is not None else 0
@@ -563,9 +567,12 @@ def _border_T_apply_chain(border_loc, y, group_offset=None):
     bwd_y = lax.dynamic_slice(ext, (offi, jnp.int32(0)), (Nb, ns))
     fwd_y = lax.dynamic_slice(ext, (offi + 1, jnp.int32(0)), (Nb, ns))
     y_loc = jnp.concatenate([bwd_y, fwd_y], axis=1)  # (Nb, L)
-    return jnp.einsum(
-        "bli,bl->bi", border_loc, y_loc, preferred_element_type=y.dtype
-    )
+    # (b,1,L)@(b,L,nk) batched GEMM — see _border_apply_chain on why not
+    # einsum "bli,bl->bi" (chunked-reduction lowering, ~2.7 ms/iter on the
+    # round-5 trace vs a plain MXU matmul)
+    return jnp.matmul(
+        y_loc[:, None, :], border_loc, preferred_element_type=y.dtype
+    )[:, 0, :]
 
 
 def _kkt_matvec(

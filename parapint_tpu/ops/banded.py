@@ -134,30 +134,29 @@ def sym_band_to_tridiag_tiles(sym_bands: jax.Array, ts: int):
     if n % ts != 0:
         raise ValueError(f"n={n} not a multiple of tile size {ts}")
     m = n // ts
-    dt = sym_bands.dtype
-    diag = jnp.zeros((m, ts, ts), dtype=dt)
-    upper = jnp.zeros((max(m - 1, 0), ts, ts), dtype=dt)
-    band_t = sym_bands.reshape(pp1, m, ts)  # [e, g, b] = G[g*ts+b+e, g*ts+b]
-    b_ids = jnp.arange(ts)
-    for e in range(0, p + 1):
-        v = band_t[e]  # (m, ts): G[g*ts + b + e, g*ts + b]
-        # within-tile part: rows a = b + e < ts -> diag tile (a, b) and (b, a)
-        in_tile = b_ids + e < ts
-        vals = jnp.where(in_tile[None, :], v, 0.0)
-        rows = jnp.where(in_tile, b_ids + e, 0)
-        diag = diag.at[:, rows, b_ids].add(jnp.where(in_tile[None, :], vals, 0.0))
-        if e > 0:
-            diag = diag.at[:, b_ids, rows].add(
-                jnp.where(in_tile[None, :], vals, 0.0)
-            )
-        if e > 0 and m > 1:
-            # tile-crossing part: row lands in tile g+1: a' = b + e - ts >= 0.
-            # G[(g+1)ts + a', g ts + b] is the SUBdiagonal tile = upper^T:
-            # upper_tiles[g][b, a'] (row = within tile g, col = within g+1).
-            cross = b_ids + e >= ts
-            vals = jnp.where(cross[None, :], v[:-1], 0.0)
-            cols = jnp.where(cross, b_ids + e - ts, 0)
-            upper = upper.at[:, b_ids, cols].add(vals)
+    # Scatter-free skew construction (round 5: the original per-band
+    # .at[].add loop issued ~2.5(p+1) scatter-adds = ~1.5 ms per numeric on
+    # the 64-block bench; pads/reshapes are pure data movement).
+    #
+    # Per tile g, X[b, e] = G[g*ts+b+e, g*ts+b].  Row b of the dense tile
+    # column b is X[b, :] shifted DOWN by b — the standard skew trick:
+    # pad rows to width W+1 (W = ts + pp1), flatten, drop the tail, and
+    # re-view as (ts, W): Z[b, c] = flat[b*W + c] = X[b, c - b] (zeros
+    # where c < b or c >= b + pp1).  M = Z^T then holds M[a, b] =
+    # G[g*ts+a, g*ts+b] for the lower band; rows a >= ts are the coupling
+    # INTO the next tile (the subdiagonal block = upper_tiles[g]^T).
+    X = sym_bands.reshape(pp1, m, ts).transpose(1, 2, 0)  # (m, ts, pp1)
+    W = ts + pp1
+    Xp = jnp.pad(X, ((0, 0), (0, 0), (0, W + 1 - pp1)))  # (m, ts, W+1)
+    Z = Xp.reshape(m, ts * (W + 1))[:, : ts * W].reshape(m, ts, W)
+    Mfull = jnp.swapaxes(Z, 1, 2)  # (m, W, ts)
+    Lw = Mfull[:, :ts, :]  # within-tile lower trapezoid
+    diag = Lw + jnp.swapaxes(jnp.tril(Lw, -1), 1, 2)
+    r = min(pp1, ts)  # cross rows a' = b + e - ts range [0, p-1] < ts
+    S = Mfull[:-1, ts : ts + r, :]  # (m-1, r, ts) subdiagonal blocks
+    upper = jnp.swapaxes(S, 1, 2)  # upper[g][b, a'] = S[g][a', b]
+    if r < ts:
+        upper = jnp.pad(upper, ((0, 0), (0, 0), (0, ts - r)))
     return diag, upper
 
 
