@@ -483,7 +483,10 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
 
     def _link_resid(self, x, c):
         """(N, n_link) masked link residuals sel(x) - c."""
-        lx = jnp.einsum("bln,bn->bl", self.link_rows, x)
+        # batched GEMM, not einsum "bln,bn->bl" — the TPU backend lowers the
+        # einsum via a chunked-reduction strategy (linalg/schur.py round-5
+        # trace note)
+        lx = jnp.matmul(self.link_rows.astype(x.dtype), x[:, :, None])[..., 0]
         return (lx - self._gather_coupling(c) * self.link_mask) * self.link_mask
 
     def _scatter_link_duals_to_coupling(self, duals_eq):
@@ -498,15 +501,17 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
 
     def _grad_lag_primals(self, state, jac_eq, jac_ineq, grad_f, jtlam=None):
         if jtlam is None:
-            jtlam = jnp.einsum(
-                "bmn,bm->bn", jac_eq, state.duals_eq["own"]
-            ) + jnp.einsum("bmn,bm->bn", jac_ineq, state.duals_ineq)
+            jtlam = (
+                jnp.matmul(state.duals_eq["own"][:, None, :], jac_eq)[:, 0, :]
+                + jnp.matmul(state.duals_ineq[:, None, :], jac_ineq)[:, 0, :]
+            )
+        lam = self._link_duals(state.duals_eq)
         return (
             self.obj_factor * grad_f
             + jtlam
-            + jnp.einsum(
-                "bln,bl->bn", self.link_rows, self._link_duals(state.duals_eq)
-            )
+            + jnp.matmul(
+                lam[:, None, :], self.link_rows.astype(lam.dtype)
+            )[:, 0, :]
         )
 
     def _jtprod(self, state):

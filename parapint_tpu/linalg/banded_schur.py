@@ -234,6 +234,12 @@ class BandedSchurFactor:
     # the shifted-band matvec
     diag_t: object = None
     upper_t: object = None
+    # (N, nk, L) V = K^{-1} A^T from the SC formation.  The back solve is
+    # x = K^{-1} r - V y_loc: one batched GEMM replaces the SECOND Thomas
+    # sweep (16 sequential tile matvecs on the bench shape), in every
+    # solve AND every refinement pass.  None disables (falls back to the
+    # two-sweep form).
+    v_border: object = None
 
 
 def _permute_cols(x: jax.Array, perm: jax.Array) -> jax.Array:
@@ -517,6 +523,7 @@ class BandedSchurComplementSolver(LinearSolver):
             assembly=kkt.assembly,
             diag_t=diag_t,
             upper_t=upper_t,
+            v_border=V,
         )
 
     # -- solves -------------------------------------------------------------
@@ -537,6 +544,8 @@ class BandedSchurComplementSolver(LinearSolver):
 
     def _solve_once(self, fact: BandedSchurFactor, rhs: BlockRhs) -> BlockRhs:
         """One SC solve in PERMUTED block coordinates."""
+        from parapint_tpu.linalg.schur import _border_y_loc_chain
+
         chain = _chain_border_ok(fact.assembly, fact.border_loc, fact.nc)
         with jax.named_scope("banded_sc.block_solve"):
             v = self._apply_blocks(fact, rhs.blocks)
@@ -549,17 +558,39 @@ class BandedSchurComplementSolver(LinearSolver):
                     fact.border_loc, fact.row_idx, v, fact.nc
                 )
         with jax.named_scope("banded_sc.sc_back_solve"):
-            y = self.sc_solver.solve(fact.sc_fact, sc_rhs)
+            # coupling solve at the FACTOR precision: the block part already
+            # runs f32 (thomas tinv) and the refinement loop owns the f64
+            # story, so an emulated-f64 CR sweep here (~55 small f64
+            # matvecs) buys nothing — round-5 trace finding
+            fdt = fact.thomas.tinv.dtype
+            y = self.sc_solver.solve(fact.sc_fact, sc_rhs.astype(fdt))
         with jax.named_scope("banded_sc.back_solve"):
-            if chain:
-                rhs2 = rhs.blocks - _border_T_apply_chain(
-                    fact.border_loc, y, fact.group_offset
-                )
+            if fact.v_border is not None:
+                # x = K^{-1} rhs - V y_loc: the second Thomas sweep folds
+                # into one batched GEMM against the stored V = K^{-1} A^T
+                Nb, L = fact.border_loc.shape[:2]
+                yv = y.astype(fact.v_border.dtype)
+                if chain:
+                    y_loc = _border_y_loc_chain(yv, Nb, L, fact.group_offset)
+                else:
+                    y_pad = jnp.concatenate(
+                        [yv, jnp.zeros(1, dtype=yv.dtype)]
+                    )
+                    y_loc = y_pad[fact.row_idx]
+                x = v - jnp.matmul(
+                    fact.v_border, y_loc[:, :, None],
+                    preferred_element_type=v.dtype,
+                )[..., 0]
             else:
-                rhs2 = rhs.blocks - _border_T_apply_local(
-                    fact.border_loc, fact.row_idx, y
-                )
-            x = self._apply_blocks(fact, rhs2)
+                if chain:
+                    rhs2 = rhs.blocks - _border_T_apply_chain(
+                        fact.border_loc, y, fact.group_offset
+                    )
+                else:
+                    rhs2 = rhs.blocks - _border_T_apply_local(
+                        fact.border_loc, fact.row_idx, y
+                    )
+                x = self._apply_blocks(fact, rhs2)
         return BlockRhs(blocks=x, coupling=y)
 
     def _kkt_matvec(
@@ -764,6 +795,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
                     "bli,bik->blk", border.astype(V.dtype), V,
                     preferred_element_type=V.dtype,
                 ) * mask[:, None, None].astype(V.dtype)
+                v_border = V
             with jax.named_scope("banded_sc.communicate"):
                 if tridiag:
                     dt_c, ut_full = _chain_tiles(S_loc, nc, offset)
@@ -793,7 +825,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             thomas = dataclasses.replace(
                 thomas, inertia=blk_inertia, status=blk_status
             )
-            return thomas, sc_fact, inertia, status, diag_t, upper_t
+            return thomas, sc_fact, inertia, status, diag_t, upper_t, v_border
 
         thomas_specs = ThomasFactor(
             tinv=P(ax), upper=P(ax), inertia=P(), status=P()
@@ -808,11 +840,13 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
                 jax.ShapeDtypeStruct((nc, nc), kkt.sym_bands.dtype),
             )
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), sc_struct)
-        thomas, sc_fact, inertia, status, diag_t, upper_t = shard_map(
+        thomas, sc_fact, inertia, status, diag_t, upper_t, v_border = shard_map(
             _numeric,
             mesh=self.mesh,
             in_specs=(P(ax), P(ax), P(ax), P(), P(ax)),
-            out_specs=(thomas_specs, sc_fact_specs, P(), P(), P(ax), P(ax)),
+            out_specs=(
+                thomas_specs, sc_fact_specs, P(), P(), P(ax), P(ax), P(ax),
+            ),
             check_vma=False,
         )(kkt.sym_bands, kkt.border_loc, kkt.row_idx, kkt.q, kkt.mask)
         ts = self.tile_size if self.tile_size is not None else max(8, pp1 - 1)
@@ -833,6 +867,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             assembly=assembly,
             diag_t=diag_t,
             upper_t=upper_t,
+            v_border=v_border,
         )
 
     def _solve_refined(self, fact: BandedSchurFactor, rhs: BlockRhs):
@@ -849,7 +884,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
 
         def _solve(
             thomas, bands, border, row_idx, q, sc_fact, blocks, coupling,
-            diag_t, upper_t,
+            diag_t, upper_t, v_border,
         ):
             offset = lax.axis_index(ax) * blocks.shape[0]
             shard_fact = BandedSchurFactor(
@@ -870,10 +905,13 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
                 group_offset=offset,
                 diag_t=diag_t,
                 upper_t=upper_t,
+                v_border=v_border,
             )
             lrhs = BlockRhs(blocks=blocks, coupling=coupling)
 
             def solve_once(r):
+                from parapint_tpu.linalg.schur import _border_y_loc_chain
+
                 chain = _chain_border_ok(fact.assembly, border, fact.nc)
                 v = self._apply_blocks(shard_fact, r.blocks)
                 if chain:
@@ -883,14 +921,24 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
                         border, row_idx, v, fact.nc
                     )
                 sc_rhs = r.coupling - lax.psum(contrib, ax)
-                y = self.sc_solver.solve(sc_fact, sc_rhs)
+                # factor-precision coupling solve (see the serial
+                # _solve_once round-5 note)
+                y = self.sc_solver.solve(
+                    sc_fact, sc_rhs.astype(thomas.tinv.dtype)
+                )
+                Nb, L = border.shape[:2]
+                yv = y.astype(v_border.dtype)
                 if chain:
-                    rhs2 = r.blocks - _border_T_apply_chain(border, y, offset)
+                    y_loc = _border_y_loc_chain(yv, Nb, L, offset)
                 else:
-                    rhs2 = r.blocks - _border_T_apply_local(
-                        border, row_idx, y
+                    y_pad = jnp.concatenate(
+                        [yv, jnp.zeros(1, dtype=yv.dtype)]
                     )
-                x = self._apply_blocks(shard_fact, rhs2)
+                    y_loc = y_pad[row_idx]
+                x = v - jnp.matmul(
+                    v_border, y_loc[:, :, None],
+                    preferred_element_type=v.dtype,
+                )[..., 0]
                 return BlockRhs(blocks=x, coupling=y)
 
             def up(b):
@@ -948,7 +996,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             mesh=self.mesh,
             in_specs=(
                 thomas_specs, P(ax), P(ax), P(ax), P(), sc_fact_specs,
-                P(ax), P(), P(ax), P(ax),
+                P(ax), P(), P(ax), P(ax), P(ax),
             ),
             out_specs=(P(ax), P(), P()),
             check_vma=False,
@@ -963,6 +1011,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             rhs.coupling,
             fact.diag_t,
             fact.upper_t,
+            fact.v_border,
         )
         xb = _permute_cols_inv(xb[:n_rhs], fact.perm)
         return BlockRhs(blocks=xb, coupling=y), ok

@@ -505,9 +505,10 @@ def _border_T_apply_local(border_loc, row_idx, y):
     """A_i^T P_i^T y per block -> (N, nk)"""
     y_pad = jnp.concatenate([y, jnp.zeros(1, dtype=y.dtype)])
     y_loc = y_pad[row_idx]  # (N, L)
-    return jnp.einsum(
-        "bli,bl->bi", border_loc, y_loc, preferred_element_type=y.dtype
-    )
+    # batched GEMM, not einsum "bli,bl->bi" — see _border_T_apply_chain
+    return jnp.matmul(
+        y_loc[:, None, :], border_loc, preferred_element_type=y.dtype
+    )[:, 0, :]
 
 
 def _chain_border_ok(assembly, border_loc, nc: int) -> bool:
@@ -553,11 +554,9 @@ def _border_apply_chain(border_loc, v, nc: int, group_offset=None):
     return (place(fwd, off) + place(bwd, off - 1)).reshape(nc)
 
 
-def _border_T_apply_chain(border_loc, y, group_offset=None):
-    """Chain-topology A_i^T P_i^T y per block -> (N, nk) with NO gather:
-    each block reads two contiguous coupling groups (see
-    :func:`_border_apply_chain`)."""
-    Nb, L, _ = border_loc.shape
+def _border_y_loc_chain(y, Nb: int, L: int, group_offset=None):
+    """(Nb, L) per-block local rows of the coupling vector for the chain
+    topology: rows [0, ns) read group b-1, rows [ns, 2ns) read group b."""
     ns = L // 2
     yg = y.reshape(-1, ns)
     off = group_offset if group_offset is not None else 0
@@ -566,7 +565,15 @@ def _border_T_apply_chain(border_loc, y, group_offset=None):
     offi = jnp.asarray(off, dtype=jnp.int32)
     bwd_y = lax.dynamic_slice(ext, (offi, jnp.int32(0)), (Nb, ns))
     fwd_y = lax.dynamic_slice(ext, (offi + 1, jnp.int32(0)), (Nb, ns))
-    y_loc = jnp.concatenate([bwd_y, fwd_y], axis=1)  # (Nb, L)
+    return jnp.concatenate([bwd_y, fwd_y], axis=1)  # (Nb, L)
+
+
+def _border_T_apply_chain(border_loc, y, group_offset=None):
+    """Chain-topology A_i^T P_i^T y per block -> (N, nk) with NO gather:
+    each block reads two contiguous coupling groups (see
+    :func:`_border_apply_chain`)."""
+    Nb, L, _ = border_loc.shape
+    y_loc = _border_y_loc_chain(y, Nb, L, group_offset)
     # (b,1,L)@(b,L,nk) batched GEMM — see _border_apply_chain on why not
     # einsum "bli,bl->bi" (chunked-reduction lowering, ~2.7 ms/iter on the
     # round-5 trace vs a plain MXU matmul)

@@ -224,6 +224,19 @@ def cr_solve(fact: CRFactor, r: jax.Array) -> jax.Array:
     if M != m:
         r = jnp.concatenate([r, jnp.zeros((M - m, ns), dtype=r.dtype)], axis=0)
 
+    # All per-level contractions below are explicit batched GEMMs, not
+    # einsum vector forms — see linalg/schur.py's round-5 note on the TPU
+    # backend's chunked-reduction einsum lowering.
+    def _mv(A, v):  # (k, ns, ns) @ (k, ns) -> (k, ns)
+        return jnp.matmul(
+            A.astype(v.dtype), v[:, :, None], preferred_element_type=v.dtype
+        )[..., 0]
+
+    def _mtv(A, v):  # (k, ns, ns)^T @ (k, ns) -> (k, ns)
+        return jnp.matmul(
+            v[:, None, :], A.astype(v.dtype), preferred_element_type=v.dtype
+        )[:, 0, :]
+
     # forward sweep: fold eliminated tiles into the kept rhs
     zs = []
     for lvl in range(len(fact.tinv) - 1):
@@ -231,19 +244,11 @@ def cr_solve(fact: CRFactor, r: jax.Array) -> jax.Array:
         K = Ue.shape[0]
         re = r[0::2]
         ro = r[1::2]
-        z = jnp.einsum(
-            "eij,ej->ei", tinv.astype(r.dtype), re, preferred_element_type=r.dtype
-        )
+        z = _mv(tinv, re)
         zs.append(z)
-        r = (
-            ro
-            - jnp.einsum("kij,ki->kj", Ue.astype(r.dtype), z[:K])
-            - jnp.einsum("kij,kj->ki", Uo.astype(r.dtype), z[1:])
-        )
+        r = ro - _mtv(Ue, z[:K]) - _mv(Uo, z[1:])
     # deepest level: single tile
-    x = jnp.einsum(
-        "eij,ej->ei", fact.tinv[-1].astype(r.dtype), r, preferred_element_type=r.dtype
-    )
+    x = _mv(fact.tinv[-1], r)
     # back-substitution: recover the eliminated tiles level by level
     for lvl in range(len(fact.tinv) - 2, -1, -1):
         tinv, Ue, Uo = fact.tinv[lvl], fact.ue[lvl], fact.uo[lvl]
@@ -257,10 +262,8 @@ def cr_solve(fact: CRFactor, r: jax.Array) -> jax.Array:
         uo_shift = jnp.concatenate([zt, Uo], axis=0)  # (E,...) U_{2p-1}
         ue_ext = jnp.concatenate([Ue, zt], axis=0)  # (E,...) U_{2p}
         # x_e[p] = Tinv_{2p} (r_e[p] - U_{2p-1}^T x_kept[p-1] - U_{2p} x_kept[p])
-        corr = jnp.einsum(
-            "eij,ei->ej", uo_shift.astype(xk.dtype), xk_pad[:E]
-        ) + jnp.einsum("eij,ej->ei", ue_ext.astype(xk.dtype), xk_pad[1 : E + 1])
-        xe = z - jnp.einsum("eij,ej->ei", tinv.astype(xk.dtype), corr)
+        corr = _mtv(uo_shift, xk_pad[:E]) + _mv(ue_ext, xk_pad[1 : E + 1])
+        xe = z - _mv(tinv, corr)
         # interleave [xe_0, xk_0, xe_1, xk_1, ..., xe_K]: strided .at[::2]
         # scatters serialize on TPU; a stack+reshape is pure data movement
         xk_ext = jnp.concatenate([xk, jnp.zeros((1, ns), dtype=xk.dtype)])
