@@ -240,6 +240,13 @@ class BandedSchurFactor:
     # solve AND every refinement pass.  None disables (falls back to the
     # two-sweep form).
     v_border: object = None
+    # scalar ||K||_F^2 of the full block-bordered system, precomputed at
+    # numeric time: the refinement probe's noise floor becomes
+    # (32 eps)^2 * ||K||_F^2 * ||x||^2 instead of a second |K||x| matvec
+    # per probe (norm bound: || |K||x| ||_2 <= ||K||_F ||x||_2, so the
+    # floor only grows — refinement stops earlier, never later than the
+    # componentwise floor allowed).  None falls back to the matvec form.
+    norm2: object = None
 
 
 def _permute_cols(x: jax.Array, perm: jax.Array) -> jax.Array:
@@ -496,6 +503,13 @@ class BandedSchurComplementSolver(LinearSolver):
                 )
         with jax.named_scope("banded_sc.factor_sc"):
             sc_fact = self.sc_solver.numeric(sc)
+        f32 = jnp.float32
+        norm2 = (
+            jnp.sum(diag_t.astype(f32) ** 2)
+            + 2.0 * jnp.sum(upper_t.astype(f32) ** 2)
+            + 2.0 * jnp.sum(kkt.border_loc.astype(f32) ** 2)
+            + jnp.sum(kkt.q.astype(f32) ** 2)
+        )
         sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
         # structural identity padding rows contribute +1 pivots each —
         # subtract them so the inertia matches the logical dimension
@@ -524,6 +538,7 @@ class BandedSchurComplementSolver(LinearSolver):
             diag_t=diag_t,
             upper_t=upper_t,
             v_border=V,
+            norm2=norm2,
         )
 
     # -- solves -------------------------------------------------------------
@@ -642,31 +657,47 @@ class BandedSchurComplementSolver(LinearSolver):
         coupling part is shard-replicated and is added once)."""
         f32 = jnp.float32
         kx = self._kkt_matvec(fact, x, dtype=f32, psum_axis=psum_axis)
-        # |K| matvec for the noise floor: every tile entry is a single band
-        # entry (positional placement), so abs commutes with the tiling
-        afact = dataclasses.replace(
-            fact,
-            sym_bands=None if fact.sym_bands is None else jnp.abs(fact.sym_bands),
-            q=jnp.abs(fact.q),
-            border_loc=jnp.abs(fact.border_loc),
-            diag_t=None if fact.diag_t is None else jnp.abs(fact.diag_t),
-            upper_t=None if fact.upper_t is None else jnp.abs(fact.upper_t),
-        )
-        ax = BlockRhs(blocks=jnp.abs(x.blocks), coupling=jnp.abs(x.coupling))
-        kabs = self._kkt_matvec(afact, ax, dtype=f32, psum_axis=psum_axis)
         wd = rhs.blocks.dtype
         rb = rhs.blocks.astype(f32).astype(wd) - kx.blocks.astype(wd)
         rc = rhs.coupling.astype(f32).astype(wd) - kx.coupling.astype(wd)
         rb2 = jnp.sum(rb * rb)
         bb2 = jnp.sum(rhs.blocks.astype(wd) ** 2)
-        fb2 = jnp.sum(kabs.blocks.astype(wd) ** 2)
-        if psum_axis is not None:
-            rb2 = jax.lax.psum(rb2, psum_axis)
-            bb2 = jax.lax.psum(bb2, psum_axis)
-            fb2 = jax.lax.psum(fb2, psum_axis)
+        if fact.norm2 is not None:
+            # precomputed-||K||_F floor (see the norm2 field note): only
+            # ||x||^2 is needed per probe
+            xb2 = jnp.sum(x.blocks.astype(wd) ** 2)
+            if psum_axis is not None:
+                rb2 = jax.lax.psum(rb2, psum_axis)
+                bb2 = jax.lax.psum(bb2, psum_axis)
+                xb2 = jax.lax.psum(xb2, psum_axis)
+            fn2 = fact.norm2.astype(wd) * (
+                xb2 + jnp.sum(x.coupling.astype(wd) ** 2)
+            )
+        else:
+            # |K| matvec noise floor: every tile entry is a single band
+            # entry (positional placement), so abs commutes with the tiling
+            afact = dataclasses.replace(
+                fact,
+                sym_bands=None
+                if fact.sym_bands is None
+                else jnp.abs(fact.sym_bands),
+                q=jnp.abs(fact.q),
+                border_loc=jnp.abs(fact.border_loc),
+                diag_t=None if fact.diag_t is None else jnp.abs(fact.diag_t),
+                upper_t=None if fact.upper_t is None else jnp.abs(fact.upper_t),
+            )
+            ax = BlockRhs(
+                blocks=jnp.abs(x.blocks), coupling=jnp.abs(x.coupling)
+            )
+            kabs = self._kkt_matvec(afact, ax, dtype=f32, psum_axis=psum_axis)
+            fb2 = jnp.sum(kabs.blocks.astype(wd) ** 2)
+            if psum_axis is not None:
+                rb2 = jax.lax.psum(rb2, psum_axis)
+                bb2 = jax.lax.psum(bb2, psum_axis)
+                fb2 = jax.lax.psum(fb2, psum_axis)
+            fn2 = fb2 + jnp.sum(kabs.coupling.astype(wd) ** 2)
         rn2 = rb2 + jnp.sum(rc * rc)
         bn2 = bb2 + jnp.sum(rhs.coupling.astype(wd) ** 2)
-        fn2 = fb2 + jnp.sum(kabs.coupling.astype(wd) ** 2)
         eps = 32.0 * np.finfo(np.float32).eps
         floor2 = (eps * eps) * fn2
         bad = jnp.logical_not(jnp.isfinite(rn2))
@@ -811,6 +842,13 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
                     sc = q.astype(V.dtype) - lax.psum(contrib, ax)
                 blk_inertia = lax.psum(thomas.inertia, ax)
                 blk_status = lax.pmax(thomas.status, ax)
+                f32l = jnp.float32
+                norm2 = lax.psum(
+                    jnp.sum(diag_t.astype(f32l) ** 2)
+                    + 2.0 * jnp.sum(upper_t.astype(f32l) ** 2)
+                    + 2.0 * jnp.sum(border.astype(f32l) ** 2),
+                    ax,
+                ) + jnp.sum(q.astype(f32l) ** 2)
             with jax.named_scope("banded_sc.factor_sc"):
                 sc_fact = self.sc_solver.numeric(sc)
             sc_pos, sc_neg, sc_zero = self.sc_solver.inertia(sc_fact)
@@ -825,7 +863,10 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             thomas = dataclasses.replace(
                 thomas, inertia=blk_inertia, status=blk_status
             )
-            return thomas, sc_fact, inertia, status, diag_t, upper_t, v_border
+            return (
+                thomas, sc_fact, inertia, status, diag_t, upper_t, v_border,
+                norm2,
+            )
 
         thomas_specs = ThomasFactor(
             tinv=P(ax), upper=P(ax), inertia=P(), status=P()
@@ -840,12 +881,16 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
                 jax.ShapeDtypeStruct((nc, nc), kkt.sym_bands.dtype),
             )
         sc_fact_specs = jax.tree_util.tree_map(lambda _: P(), sc_struct)
-        thomas, sc_fact, inertia, status, diag_t, upper_t, v_border = shard_map(
+        (
+            thomas, sc_fact, inertia, status, diag_t, upper_t, v_border,
+            norm2,
+        ) = shard_map(
             _numeric,
             mesh=self.mesh,
             in_specs=(P(ax), P(ax), P(ax), P(), P(ax)),
             out_specs=(
                 thomas_specs, sc_fact_specs, P(), P(), P(ax), P(ax), P(ax),
+                P(),
             ),
             check_vma=False,
         )(kkt.sym_bands, kkt.border_loc, kkt.row_idx, kkt.q, kkt.mask)
@@ -868,6 +913,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             diag_t=diag_t,
             upper_t=upper_t,
             v_border=v_border,
+            norm2=norm2,
         )
 
     def _solve_refined(self, fact: BandedSchurFactor, rhs: BlockRhs):
@@ -884,7 +930,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
 
         def _solve(
             thomas, bands, border, row_idx, q, sc_fact, blocks, coupling,
-            diag_t, upper_t, v_border,
+            diag_t, upper_t, v_border, norm2,
         ):
             offset = lax.axis_index(ax) * blocks.shape[0]
             shard_fact = BandedSchurFactor(
@@ -906,6 +952,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
                 diag_t=diag_t,
                 upper_t=upper_t,
                 v_border=v_border,
+                norm2=norm2,
             )
             lrhs = BlockRhs(blocks=blocks, coupling=coupling)
 
@@ -996,7 +1043,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             mesh=self.mesh,
             in_specs=(
                 thomas_specs, P(ax), P(ax), P(ax), P(), sc_fact_specs,
-                P(ax), P(), P(ax), P(ax), P(ax),
+                P(ax), P(), P(ax), P(ax), P(ax), P(),
             ),
             out_specs=(P(ax), P(), P()),
             check_vma=False,
@@ -1012,6 +1059,7 @@ class ShardedBandedSchurComplementSolver(BandedSchurComplementSolver):
             fact.diag_t,
             fact.upper_t,
             fact.v_border,
+            fact.norm2,
         )
         xb = _permute_cols_inv(xb[:n_rhs], fact.perm)
         return BlockRhs(blocks=xb, coupling=y), ok
