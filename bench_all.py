@@ -223,6 +223,35 @@ def main():
             ),
         )
     )
+    def banded_cr(iface):
+        return pt.BandedSchurComplementSolver(
+            schur_complement_solver=pt.BlockTridiagSolver(ns=iface.ns),
+            tile_size=128,
+        )
+
+    def burgers_banded_row(nfe_x, nfe_t, nblocks):
+        spec = burgers.build_spec(
+            nfe_x=nfe_x, nfe_t=nfe_t, num_time_blocks=nblocks
+        )
+        iface = pt.DynamicSchurComplementInteriorPointInterface(
+            spec, kkt_dtype=jnp.float32, block_form="banded"
+        )
+        return iface, banded_cr(iface)
+
+    configs.append(
+        (
+            # the round-5 flagship default (bench.py): banded block-Thomas
+            # per-block factorization, ts=128 tiles, CR coupling
+            "burgers_64blocks_banded_cr",
+            lambda: burgers_banded_row(50, 256, 64),
+        )
+    )
+    configs.append(
+        (
+            "burgers_256blocks_banded_cr",
+            lambda: burgers_banded_row(50, 512, 256),
+        )
+    )
     configs.append(
         (
             "burgers_256blocks_cr",

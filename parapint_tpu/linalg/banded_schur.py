@@ -257,9 +257,14 @@ def _permute_cols(x: jax.Array, perm: jax.Array) -> jax.Array:
     a one-hot selection matmul at precision="highest" is exact (products
     are x*1 or x*0, each row sums one nonzero) and measured 0.58 ms
     including the f64 3-way f32 split (hi/mid/lo cover 72 >= 53 mantissa
-    bits, so the recombination is the original double).  Inverse
-    permutation = same matmul with the transposed one-hot
-    (:func:`_permute_cols_inv`)."""
+    bits, so the recombination is the original double).  BIT-EXACT for
+    components |x| >= ~1e-23; below that the lo (then mid) split
+    underflows the f32 subnormal range: relative error <= ~1e-12 down to
+    |x| ~ 1e-29, and <= 2^-23 (~1e-7 relative, absolute <= |x| * 2^-23)
+    for fully-subnormal-range components below — all far beneath the
+    refinement floor (CPU-validated across 10^{+-25} dynamic range in
+    tests/test_banded.py).  Inverse permutation = same matmul with the
+    transposed one-hot (:func:`_permute_cols_inv`)."""
     nk = x.shape[-1]
     P = (perm[:, None] == jnp.arange(nk, dtype=perm.dtype)[None, :]).astype(
         jnp.float32

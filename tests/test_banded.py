@@ -129,6 +129,87 @@ class TestThomas:
             assert np.abs(S[b] - np.linalg.solve(Ks[b], R[b])).max() < 1e-10
 
 
+class TestRound5Primitives:
+    """The trace-driven round-5 kernels: one-hot permutation (bit-exact
+    claim), tile-form block-tridiagonal matvec, and the scatter-free skew
+    band->tile construction, each against a dense oracle."""
+
+    def test_permute_cols_bit_exact(self):
+        from parapint_tpu.linalg.banded_schur import (
+            _permute_cols,
+            _permute_cols_inv,
+        )
+
+        rng = np.random.default_rng(3)
+        nk = 237
+        perm = jnp.asarray(rng.permutation(nk), jnp.int32)
+        for dtype in (jnp.float32, jnp.float64):
+            x = jnp.asarray(
+                rng.standard_normal((5, nk)) * 10.0 ** rng.integers(-20, 20, (5, nk))
+            ).astype(dtype)
+            y = _permute_cols(x, perm)
+            assert np.array_equal(
+                np.asarray(y), np.asarray(x)[:, np.asarray(perm)]
+            ), "forward permutation must be bit-exact for |x| >= ~1e-23"
+            x2 = _permute_cols_inv(y, perm)
+            assert np.array_equal(np.asarray(x2), np.asarray(x))
+        # components under ~1e-23: the lo (then mid) split underflows f32
+        # subnormals — relative error <= ~1e-12 down to ~1e-29, absolute
+        # < 1e-40 below (see the _permute_cols docstring)
+        xm = jnp.asarray(rng.standard_normal((2, nk)) * 1e-27)
+        ym = np.asarray(_permute_cols(xm, perm))
+        refm = np.asarray(xm)[:, np.asarray(perm)]
+        assert (np.abs(ym - refm) / np.abs(refm)).max() < 1e-12
+        xt = jnp.asarray(rng.standard_normal((2, nk)) * 1e-32)
+        yt = np.asarray(_permute_cols(xt, perm))
+        reft = np.asarray(xt)[:, np.asarray(perm)]
+        assert np.abs(yt - reft).max() <= np.abs(reft).max() * 2.0**-23
+
+    def test_tile_matvec_vs_dense(self):
+        from parapint_tpu.linalg.banded_schur import tridiag_tiles_matvec
+
+        rng = np.random.default_rng(4)
+        N, m, ts = 3, 4, 8
+        diag_t = rng.standard_normal((N, m, ts, ts))
+        diag_t = diag_t + np.swapaxes(diag_t, 2, 3)
+        upper_t = rng.standard_normal((N, m - 1, ts, ts))
+        x = rng.standard_normal((N, m, ts))
+        y = np.asarray(
+            tridiag_tiles_matvec(jnp.asarray(diag_t), jnp.asarray(upper_t), jnp.asarray(x))
+        )
+        for b in range(N):
+            K = np.zeros((m * ts, m * ts))
+            for g in range(m):
+                K[g * ts : (g + 1) * ts, g * ts : (g + 1) * ts] = diag_t[b, g]
+            for g in range(m - 1):
+                K[g * ts : (g + 1) * ts, (g + 1) * ts : (g + 2) * ts] = upper_t[b, g]
+                K[(g + 1) * ts : (g + 2) * ts, g * ts : (g + 1) * ts] = upper_t[b, g].T
+            ref = K @ x[b].reshape(-1)
+            assert np.abs(y[b].reshape(-1) - ref).max() < 1e-12
+
+    def test_skew_tiling_vs_dense(self):
+        rng = np.random.default_rng(5)
+        for p, ts, n in ((5, 8, 24), (7, 8, 16), (3, 4, 12)):
+            K = rng.standard_normal((n, n))
+            K = K + K.T
+            K[np.abs(np.subtract.outer(range(n), range(n))) > p] = 0.0
+            bands = np.zeros((p + 1, n))
+            for e in range(p + 1):
+                bands[e, : n - e] = np.diag(K, -e)
+            diag_t, upper_t = sym_band_to_tridiag_tiles(jnp.asarray(bands), ts)
+            m = n // ts
+            R = np.zeros((n, n))
+            for g in range(m):
+                R[g * ts : (g + 1) * ts, g * ts : (g + 1) * ts] = np.asarray(
+                    diag_t[g]
+                )
+            for g in range(m - 1):
+                U = np.asarray(upper_t[g])
+                R[g * ts : (g + 1) * ts, (g + 1) * ts : (g + 2) * ts] = U
+                R[(g + 1) * ts : (g + 2) * ts, g * ts : (g + 1) * ts] = U.T
+            assert np.abs(R - K).max() == 0.0, (p, ts, n)
+
+
 @pytest.fixture(scope="module")
 def small_burgers():
     spec = burgers.build_spec(nfe_x=8, nfe_t=12, num_time_blocks=4)
