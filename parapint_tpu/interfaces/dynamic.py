@@ -207,16 +207,15 @@ class DynamicSchurComplementInteriorPointInterface(StructuredSCInterface):
         fwd_mask = np.broadcast_to((blk < N - 1)[:, None], (N, ns)).astype(np.float64)
         self.bwd_mask = jnp.asarray(bwd_mask)
         self.fwd_mask = jnp.asarray(fwd_mask)
-        self.link_rows = jnp.asarray(
-            np.concatenate(
-                [
-                    selector_rows(spec.start_state_idx, bwd_mask, n),
-                    selector_rows(spec.end_state_idx, fwd_mask, n),
-                ],
-                axis=1,
-            )
+        # structured selector form (see StructuredSCInterface.link_rows):
+        # rows [0, ns) select start_state_idx (backward links), rows
+        # [ns, 2ns) select end_state_idx (forward links)
+        self._link_sel = jnp.asarray(
+            np.concatenate([spec.start_state_idx, spec.end_state_idx]),
+            jnp.int32,
         )
         self.link_mask = jnp.concatenate([self.bwd_mask, self.fwd_mask], axis=1)
+        self._link_rows_mask = self.link_mask
 
         # coupling var touched by each link row: backward -> c_{i-1},
         # forward -> c_i; masked rows point at the dump index ncv

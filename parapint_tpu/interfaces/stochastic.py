@@ -217,8 +217,10 @@ class StochasticSchurComplementInteriorPointInterface(StructuredSCInterface):
         )
 
         ones = np.ones((N, L))
-        self.link_rows = jnp.asarray(selector_rows(spec.first_stage_idx, ones, n))
+        # structured selector form (see StructuredSCInterface.link_rows)
+        self._link_sel = jnp.asarray(spec.first_stage_idx, jnp.int32)
         self.link_mask = jnp.asarray(ones)
+        self._link_rows_mask = self.link_mask
         # every scenario's link row j targets coupling var j
         self.row_idx = jnp.asarray(
             np.broadcast_to(np.arange(L, dtype=np.int32), (N, L)).copy()

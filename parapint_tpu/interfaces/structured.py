@@ -100,13 +100,15 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         self.obj_factor = 1.0
         self._current_state = None
 
-        # border: the coupling-column entries of the link rows.  local border
-        # row j couples c[row_idx[b, j]] to the lambda_j column with -1.
-        border_loc = np.zeros((self.N, self.n_link, self.nk))
+        # border: the coupling-column entries of the link rows — local
+        # border row j couples c[row_idx[b, j]] to the lambda_j column with
+        # -1, i.e. border_loc = -link_mask on an identity strip at column
+        # off_lam.  Built LAZILY on device (see the border_loc property):
+        # materializing it as a closure constant embeds O(N * n_link * nk)
+        # floats in every jitted graph's HLO — at the reference's flagship
+        # scaling knob (Burgers nfe_x=200: 64 x 402 x 3017 f64 = 620 MB)
+        # that blows the remote-compile payload limit (HTTP 413, round 5).
         lm = np.asarray(self.link_mask)
-        for j in range(self.n_link):
-            border_loc[:, j, self.off_lam + j] = -lm[:, j]
-        self.border_loc = jnp.asarray(border_loc)
 
         if block_form == "banded":
             self._banded_setup()
@@ -123,6 +125,41 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         self._extract_deltas = jax.jit(self._extract_deltas_impl)
         self._fraction_to_the_boundary = jax.jit(self._ftb_impl)
         self._apply_step = jax.jit(self._apply_step_impl)
+
+    # -- structured (HLO-constant-free) link/border tensors ------------------
+    #
+    # link_rows and border_loc are structurally one-hot: row j selects one
+    # column with a masked +-1.  Building the dense (N, L, n) tensors
+    # inside the trace from iota comparisons keeps them OUT of the HLO as
+    # constants (620 MB at nfe_x=200 — the round-5 HTTP 413 fix) while XLA
+    # still fuses/materializes them as needed at runtime.
+
+    @property
+    def border_loc(self):
+        L = self.n_link
+        dt = self.link_mask.dtype
+        oh = (
+            jnp.arange(L, dtype=jnp.int32)[:, None] + jnp.int32(self.off_lam)
+            == jnp.arange(self.nk, dtype=jnp.int32)[None, :]
+        ).astype(dt)
+        return -self.link_mask[:, :, None] * oh[None]
+
+    @property
+    def link_rows(self):
+        sel = getattr(self, "_link_sel", None)
+        if sel is None:
+            return self._link_rows_dense
+        dt = self.link_mask.dtype
+        oh = (
+            sel[:, None] == jnp.arange(self.n, dtype=sel.dtype)[None, :]
+        ).astype(dt)
+        return self._link_rows_mask[:, :, None] * oh[None]
+
+    @link_rows.setter
+    def link_rows(self, value):
+        # general (non-selector) interfaces assign a dense tensor directly
+        self._link_rows_dense = value
+        self._link_sel = None
 
     # -- banded block form ---------------------------------------------------
 
