@@ -145,6 +145,17 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         return -self.link_mask[:, :, None] * oh[None]
 
     @property
+    def _border_loc_perm(self):
+        """border_loc with banded-permuted columns, built in-trace from the
+        (L,) position selector computed at _banded_setup time."""
+        pos = self._b_border_pos
+        dt = self.link_mask.dtype
+        oh = (
+            pos[:, None] == jnp.arange(self.nk, dtype=jnp.int32)[None, :]
+        ).astype(dt)
+        return -self.link_mask[:, :, None] * oh[None]
+
+    @property
     def link_rows(self):
         sel = getattr(self, "_link_sel", None)
         if sel is None:
@@ -193,8 +204,19 @@ class StructuredSCInterface(base.BaseInteriorPointInterface):
         self._b_col_idx = as_j(plan.col_idx.astype(np.int32))
         self._b_row_idx = as_j(plan.row_idx.astype(np.int32))
         self._b_valid = as_j(plan.valid)
-        # border strips with permuted columns (static)
-        self._border_loc_perm = self.border_loc[:, :, plan.perm]
+        # border strips with permuted columns: structurally one-hot — local
+        # border row j holds -link_mask[b, j] at permuted column
+        # iperm[off_lam + j] (perm[i] == off_lam + j  <=>  i == iperm[...]).
+        # Stored as the tiny (L,) position selector and built in-trace by
+        # the _border_loc_perm property: materializing the dense (N, L, nk)
+        # tensor here made it a closure constant of every jitted graph —
+        # 620 MB of HLO at the Burgers nfe_x=200 flagship knob, over the
+        # remote-compile payload limit (HTTP 413, round 5).
+        self._b_border_pos = as_j(
+            plan.iperm.astype(np.int32)[
+                self.off_lam : self.off_lam + self.n_link
+            ]
+        )
         # regularization diagonal masks in permuted space (N, nk):
         # w_reg ADDS to real x-variable diagonals; c_reg SETs real
         # constraint diagonals (assemble_block_diag semantics)
